@@ -1,0 +1,160 @@
+"""Qwen2.5 text decoder: RMSNorm + GQA attention with M-RoPE + SwiGLU MLP.
+
+Functional JAX implementation of the reference decoder stack
+(modeling_qwen2_vl.py:788-1280), with a single forward that serves prefill, training
+(full-sequence logits), and single-step KV-cache decode — the cache is just an optional
+(k, v, len) pytree threaded through.
+
+Params pytree (see params.init_text_params):
+  embed.weight; layers[i].{input_ln,post_ln}.scale,
+  .attn.{wq,bq,wk,bk,wv,bv,wo}, .mlp.{wg,wu,wd}; final_ln.scale; lm_head.weight (absent
+  when tied).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TextConfig
+from ..ops.attention import causal_attention, decode_attention
+from .rope import apply_rotary, mrope_cos_sin
+from .vit import rms_norm
+
+
+class KVCache(NamedTuple):
+    """Per-layer preallocated KV cache. k/v: (L, B, T, Hkv, D); length: (B,) valid entries."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray
+
+    @staticmethod
+    def create(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((batch,), jnp.int32),
+        )
+
+
+def _attn_layer(
+    p,
+    cfg: TextConfig,
+    x,  # (B, S, E)
+    cos,
+    sin,  # (B, S, head_dim)
+    positions,  # (B, S)
+    attn_valid,  # (B, S) bool: real (non-pad) input tokens
+    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # (B, T, Hkv, D) existing cache slice
+    cache_len: Optional[jnp.ndarray],  # (B,)
+):
+    B, S, _ = x.shape
+    H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = (x @ p["wq"] + p["bq"]).reshape(B, S, H, D)
+    k = (x @ p["wk"] + p["bk"]).reshape(B, S, Hkv, D)
+    v = (x @ p["wv"] + p["bv"]).reshape(B, S, Hkv, D)
+    q = apply_rotary(q, cos, sin)
+    k = apply_rotary(k, cos, sin)
+
+    if cache_kv is None:
+        out = causal_attention(q, k, v, positions=positions, kv_positions=positions, valid=attn_valid)
+        new_kv = (k, v)
+    else:
+        k_cache, v_cache = cache_kv
+        if S == 1:
+            # Single-step decode: scatter new kv at cache_len, attend over prefix.
+            idx = cache_len  # (B,)
+            k_cache = jax.vmap(lambda c, kk, i: jax.lax.dynamic_update_slice(c, kk, (i, 0, 0)))(
+                k_cache, k, idx
+            )
+            v_cache = jax.vmap(lambda c, vv, i: jax.lax.dynamic_update_slice(c, vv, (i, 0, 0)))(
+                v_cache, v, idx
+            )
+            out = decode_attention(q, k_cache, v_cache, kv_len=cache_len + 1)
+        else:
+            # Chunked prefill into an existing cache (stage-2 continuation).
+            k_cache = jax.vmap(lambda c, kk, i: jax.lax.dynamic_update_slice(c, kk, (i, 0, 0)))(
+                k_cache, k, cache_len
+            )
+            v_cache = jax.vmap(lambda c, vv, i: jax.lax.dynamic_update_slice(c, vv, (i, 0, 0)))(
+                v_cache, v, cache_len
+            )
+            T = k_cache.shape[1]
+            slot = jnp.arange(T)[None, :]
+            valid_t = slot < (cache_len[:, None] + S)
+            # kv position: by construction cache slot order == position order per sequence
+            out = causal_attention(
+                q,
+                k_cache,
+                v_cache,
+                positions=positions,
+                kv_positions=slot,
+                valid=valid_t,
+            )
+            # positions here are cache-slot positions; caller passes slot-consistent ones
+        new_kv = (k_cache, v_cache)
+    out = out.reshape(B, S, H * D) @ p["wo"]
+    return out, new_kv
+
+
+def _mlp(p, x):
+    return (jax.nn.silu(x @ p["wg"]) * (x @ p["wu"])) @ p["wd"]
+
+
+def decoder_forward(
+    params,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,  # (B, S, E)
+    position_ids: jnp.ndarray,  # (3, B, S) M-RoPE positions
+    attn_positions: Optional[jnp.ndarray] = None,  # (B, S) causal-order positions (cache slots)
+    attn_valid: Optional[jnp.ndarray] = None,  # (B, S) bool
+    cache: Optional[KVCache] = None,
+    update_cache_len: bool = True,
+):
+    """Run the decoder stack. Returns (hidden_states, new_cache).
+
+    - Training/no-cache prefill: cache=None, attn_positions defaults to iota.
+    - Cache prefill/decode: attn_positions are cache slot indices (cache_len + iota).
+    M-RoPE position_ids drive rotary; attn_positions drive causal masking — they differ
+    because M-RoPE compresses image-token positions.
+    """
+    B, S, _ = inputs_embeds.shape
+    if attn_positions is None:
+        attn_positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+    if attn_valid is None:
+        attn_valid = jnp.ones((B, S), jnp.bool_)
+    cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
+    x = inputs_embeds
+    new_k, new_v = [], []
+    for i, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["input_ln"]["scale"], cfg.rms_norm_eps)
+        cache_kv = (cache.k[i], cache.v[i]) if cache is not None else None
+        cache_len = cache.length if cache is not None else None
+        attn_out, kv = _attn_layer(
+            layer["attn"], cfg, h, cos, sin, attn_positions, attn_valid, cache_kv, cache_len
+        )
+        x = x + attn_out
+        h = rms_norm(x, layer["post_ln"]["scale"], cfg.rms_norm_eps)
+        x = x + _mlp(layer["mlp"], h)
+        if cache is not None:
+            new_k.append(kv[0])
+            new_v.append(kv[1])
+    x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
+    new_cache = None
+    if cache is not None:
+        new_len = cache.length + S if update_cache_len else cache.length
+        new_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v), length=new_len)
+    return x, new_cache
+
+
+def logits_from_hidden(params, cfg: TextConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """(B, S, E) -> (B, S, V) in float32 (fp32 logits: parity-critical for argmax ties)."""
+    if cfg.tie_word_embeddings:
+        w = params["embed"]["weight"].T
+    else:
+        w = params["lm_head"]["weight"]
+    return jnp.asarray(hidden, jnp.float32) @ jnp.asarray(w, jnp.float32)

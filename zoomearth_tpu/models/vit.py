@@ -1,0 +1,175 @@
+"""Qwen2.5-VL vision tower, TPU-native.
+
+Design vs the reference (modeling_qwen2_vl.py:665-784 and the HF Qwen2.5 variant):
+
+- The conv3d patch embed becomes a plain matmul over pre-flattened patches (the image
+  pipeline already emits conv-patch layout) — MXU-friendly, no conv lowering.
+- The window permutation, per-block segment ids, and 2D rotary coordinates are computed
+  ONCE on host (numpy, `vision_metadata`) from grid_thw — they depend only on image
+  shapes, never on pixel data, so the jitted forward takes them as plain int arrays and
+  stays shape-static (bucketable).
+- Varlen attention (`cu_seqlens` + flash_attn_varlen_func in the reference monkey patch,
+  qwen2_5vl_monkey_patch.py:35) becomes segment-id masked attention: window ids for
+  windowed blocks, image ids for the full-attention blocks listed in
+  `fullatt_block_indexes`.
+- Padding to a bucket size is first-class: pad patches carry segment id -1 and are
+  dropped after the merger.
+
+Params pytree (see params.init_vision_params for shapes):
+  patch_embed.kernel; blocks[i].{norm1,norm2}.scale, .attn.{wqkv,bqkv,wo,bo},
+  .mlp.{wg,bg,wu,bu,wd,bd}; merger.ln_q.scale, merger.{w0,b0,w1,b1}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VisionConfig
+from ..ops.attention import segment_attention
+from .rope import apply_rotary, vision_pos_ids, vision_rope_cos_sin
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionMetadata:
+    """Host-computed, shape-static ViT forward metadata for one packed image batch."""
+
+    perm: np.ndarray  # (S,) int32: patch permutation into window order
+    inv_perm_merged: np.ndarray  # (S/m²,) int32: merged-token permutation back to image order
+    seg_window: np.ndarray  # (S,) int32 window id per patch (window order); pad = -1
+    seg_full: np.ndarray  # (S,) int32 image id per patch (window order); pad = -1
+    pos_ids: np.ndarray  # (S, 2) int32 rotary (h, w) ids per patch (window order)
+    num_patches: int  # real (unpadded) patch count
+
+
+def window_index(grid_thw: Sequence[Sequence[int]], cfg: VisionConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """Per merged-token window permutation + window id, concatenated over images.
+
+    Returns (index, window_ids) both of length sum(t*h*w)/merge_unit. `index` lists
+    merged-token indices in window-major order; `window_ids` is the window id of each
+    listed token (globally unique across images).
+    """
+    vit_ws = cfg.window_size // cfg.spatial_merge_size // cfg.patch_size  # merged tokens per window side
+    index_out, wid_out = [], []
+    base = 0
+    wid_base = 0
+    for t, h, w in grid_thw:
+        llm_h, llm_w = h // cfg.spatial_merge_size, w // cfg.spatial_merge_size
+        idx = np.arange(t * llm_h * llm_w).reshape(t, llm_h, llm_w)
+        pad_h = (-llm_h) % vit_ws
+        pad_w = (-llm_w) % vit_ws
+        nwh, nww = (llm_h + pad_h) // vit_ws, (llm_w + pad_w) // vit_ws
+        padded = np.full((t, llm_h + pad_h, llm_w + pad_w), -100, dtype=np.int64)
+        padded[:, :llm_h, :llm_w] = idx
+        padded = padded.reshape(t, nwh, vit_ws, nww, vit_ws).transpose(0, 1, 3, 2, 4)
+        padded = padded.reshape(t * nwh * nww, vit_ws * vit_ws)
+        wids = np.broadcast_to(np.arange(padded.shape[0])[:, None], padded.shape)
+        keep = padded != -100
+        index_out.append(padded[keep] + base)
+        wid_out.append(wids[keep] + wid_base)
+        base += t * llm_h * llm_w
+        wid_base += padded.shape[0]
+    return np.concatenate(index_out), np.concatenate(wid_out)
+
+
+def vision_metadata(
+    grid_thw: Sequence[Sequence[int]], cfg: VisionConfig, pad_to: int = 0
+) -> VisionMetadata:
+    """Compute all host-side metadata for a packed batch of image grids.
+
+    pad_to: optionally pad the patch dimension to this bucket size (multiple of
+    merge_unit); pad patches get segment id -1 so attention isolates them.
+    """
+    grid_thw = [tuple(int(v) for v in g) for g in grid_thw]
+    m2 = cfg.merge_unit
+    n_patches = sum(t * h * w for t, h, w in grid_thw)
+    midx, wids = window_index(grid_thw, cfg)  # merged-token level
+    # Expand merged-token permutation to patch level: merged token j covers patches
+    # [j*m2, (j+1)*m2) in emission order.
+    perm = (midx[:, None] * m2 + np.arange(m2)[None, :]).reshape(-1)
+    seg_window = np.repeat(wids, m2)
+    # image id per merged token (in image order), then permuted to window order
+    img_ids_merged = np.concatenate(
+        [np.full(t * h * w // m2, i) for i, (t, h, w) in enumerate(grid_thw)]
+    )
+    seg_full = np.repeat(img_ids_merged[midx], m2)
+    pos = vision_pos_ids(grid_thw, cfg.spatial_merge_size)[perm]  # window order
+    inv_perm_merged = np.argsort(midx)
+
+    if pad_to and pad_to > n_patches:
+        pad_n = pad_to - n_patches
+        assert pad_n % m2 == 0, "bucket size must be a multiple of merge_unit"
+        perm = np.concatenate([perm, np.arange(n_patches, pad_to)])
+        seg_window = np.concatenate([seg_window, np.full(pad_n, -1)])
+        seg_full = np.concatenate([seg_full, np.full(pad_n, -1)])
+        pos = np.concatenate([pos, np.zeros((pad_n, 2), dtype=pos.dtype)])
+
+    return VisionMetadata(
+        perm=perm.astype(np.int32),
+        inv_perm_merged=inv_perm_merged.astype(np.int32),
+        seg_window=seg_window.astype(np.int32),
+        seg_full=seg_full.astype(np.int32),
+        pos_ids=pos.astype(np.int32),
+        num_patches=n_patches,
+    )
+
+
+def rms_norm(x, scale, eps):
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(var + eps)).astype(dtype) * scale
+
+
+def _vit_block(params, cfg: VisionConfig, x, seg, cos, sin):
+    """One ViT block: RMSNorm -> segment attention (2D RoPE) -> RMSNorm -> SwiGLU."""
+    S = x.shape[0]
+    h = rms_norm(x, params["norm1"]["scale"], cfg.rms_norm_eps)
+    qkv = h @ params["attn"]["wqkv"] + params["attn"]["bqkv"]
+    qkv = qkv.reshape(S, 3, cfg.num_heads, cfg.head_dim)
+    q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+    q = apply_rotary(q, cos, sin)
+    k = apply_rotary(k, cos, sin)
+    attn = segment_attention(q, k, v, seg)
+    attn = attn.reshape(S, cfg.hidden_size) @ params["attn"]["wo"] + params["attn"]["bo"]
+    x = x + attn
+    h = rms_norm(x, params["norm2"]["scale"], cfg.rms_norm_eps)
+    g = jax.nn.silu(h @ params["mlp"]["wg"] + params["mlp"]["bg"])
+    u = h @ params["mlp"]["wu"] + params["mlp"]["bu"]
+    x = x + (g * u) @ params["mlp"]["wd"] + params["mlp"]["bd"]
+    return x
+
+
+def vit_forward(
+    params,
+    cfg: VisionConfig,
+    pixel_values: jnp.ndarray,  # (S, patch_dim) — conv-patch layout from preprocess
+    perm: jnp.ndarray,  # (S,) metadata arrays (device copies of VisionMetadata)
+    inv_perm_merged: jnp.ndarray,  # (S_real/m²,)
+    seg_window: jnp.ndarray,  # (S,)
+    seg_full: jnp.ndarray,  # (S,)
+    pos_ids: jnp.ndarray,  # (S, 2)
+) -> jnp.ndarray:
+    """Packed ViT forward -> (S_real/m², out_hidden_size) merged vision embeddings
+    in original image order.
+
+    S may exceed the real patch count (bucketed); pad rows are isolated by seg=-1 and
+    dropped by the inv_perm_merged gather (which only indexes real tokens).
+    """
+    x = pixel_values.astype(params["patch_embed"]["kernel"].dtype) @ params["patch_embed"]["kernel"]
+    x = jnp.take(x, perm, axis=0)  # into window order
+    cos, sin = vision_rope_cos_sin(pos_ids, cfg.head_dim)
+    for i in range(cfg.depth):
+        seg = seg_full if i in cfg.fullatt_block_indexes else seg_window
+        x = _vit_block(params["blocks"][i], cfg, x, seg, cos, sin)
+    # Patch merger: RMSNorm then merge each group of merge_unit consecutive patches
+    # (consecutive in window order — matches HF), then 2-layer MLP.
+    x = rms_norm(x, params["merger"]["ln_q"]["scale"], cfg.rms_norm_eps)
+    x = x.reshape(-1, cfg.merge_unit * cfg.hidden_size)
+    x = jax.nn.gelu(x @ params["merger"]["w0"] + params["merger"]["b0"], approximate=False)
+    x = x @ params["merger"]["w1"] + params["merger"]["b1"]
+    return jnp.take(x, inv_perm_merged, axis=0)  # back to image order, pads dropped

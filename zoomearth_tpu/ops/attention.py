@@ -1,0 +1,95 @@
+"""Attention ops: XLA reference implementations with segment-id masking.
+
+This is the numerically-authoritative path (used on CPU and as the fallback);
+`ops.flash_attention` provides the Pallas TPU kernel with the same interface. Both
+implement the two patterns the model needs:
+
+- `segment_attention`: unbatched packed-sequence attention for the ViT, where a
+  block-diagonal mask from segment ids replaces the reference's varlen flash-attention
+  `cu_seqlens` (reference modeling_qwen2_vl.py:729-772, qwen2_5vl_monkey_patch.py:35).
+- `causal_attention` / `decode_attention`: batched decoder attention with GQA, used for
+  prefill and single-token KV-cache decode.
+
+Softmax always accumulates in float32 (bf16 logits argmax ties are the parity risk —
+SURVEY.md §7.3 item 2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # large-negative instead of -inf: avoids NaNs for fully-masked rows
+
+
+def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """(..., T, Hkv, D) -> (..., T, Hkv*n_rep, D) by repeating each kv head."""
+    if n_rep == 1:
+        return x
+    return jnp.repeat(x, n_rep, axis=-2)
+
+
+def _sdpa(q, k, v, mask, scale):
+    """q (..., S, H, D), k/v (..., T, H, D), mask broadcastable to (..., H, S, T)."""
+    logits = jnp.einsum("...shd,...thd->...hst", q, k).astype(jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("...hst,...thd->...shd", probs.astype(v.dtype), v)
+    return out
+
+
+def segment_attention(q, k, v, segment_ids, scale=None):
+    """Packed varlen self-attention for the ViT.
+
+    q/k/v: (S, H, D); segment_ids: (S,) int — tokens attend only within their segment
+    (window id for windowed blocks, image id for full-attention blocks). Padding tokens
+    should carry a dedicated segment id; their outputs are garbage and must be dropped
+    by the caller.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    mask = (segment_ids[:, None] == segment_ids[None, :])[None]  # (1, S, T)
+    return _sdpa(q, k, v, mask, scale)
+
+
+def causal_attention(q, k, v, *, positions=None, kv_positions=None, valid=None, scale=None):
+    """Batched causal self-attention with GQA (prefill path).
+
+    q: (B, S, H, D); k/v: (B, T, Hkv, D).
+    positions: (B, S) query positions; kv_positions: (B, T) key positions — causality is
+    position-based so it works with left-padded prompts and KV caches. Defaults to
+    iota when omitted (S == T).
+    valid: (B, T) bool mask of usable kv slots (padding = False).
+    """
+    B, S, H, D = q.shape
+    T = k.shape[1]
+    if scale is None:
+        scale = D**-0.5
+    n_rep = H // k.shape[2]
+    k = _repeat_kv(k, n_rep)
+    v = _repeat_kv(v, n_rep)
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+    if kv_positions is None:
+        kv_positions = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    mask = kv_positions[:, None, :] <= positions[:, :, None]  # (B, S, T)
+    if valid is not None:
+        mask = mask & valid[:, None, :]
+    return _sdpa(q, k, v, mask[:, None], scale)
+
+
+def decode_attention(q, k_cache, v_cache, *, kv_len, scale=None):
+    """Single-step decode: q (B, 1, H, D) against cache (B, T, Hkv, D).
+
+    kv_len: (B,) number of valid cache entries per sequence (new token included).
+    """
+    B, _, H, D = q.shape
+    T = k_cache.shape[1]
+    if scale is None:
+        scale = D**-0.5
+    n_rep = H // k_cache.shape[2]
+    k = _repeat_kv(k_cache, n_rep)
+    v = _repeat_kv(v_cache, n_rep)
+    valid = jnp.arange(T)[None, :] < kv_len[:, None]  # (B, T)
+    return _sdpa(q, k, v, valid[:, None, None], scale)
