@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import VisionConfig
-from ..ops.attention import segment_attention
+from ..ops.flash_attention import PAD_SEG
+from ..ops.attention import segment_attention_auto
 from .rope import apply_rotary, vision_pos_ids, vision_rope_cos_sin
 
 
@@ -40,8 +41,8 @@ class VisionMetadata:
 
     perm: np.ndarray  # (S,) int32: patch permutation into window order
     inv_perm_merged: np.ndarray  # (S/m²,) int32: merged-token permutation back to image order
-    seg_window: np.ndarray  # (S,) int32 window id per patch (window order); pad = -1
-    seg_full: np.ndarray  # (S,) int32 image id per patch (window order); pad = -1
+    seg_window: np.ndarray  # (S,) int32 window id per patch (window order); pad = PAD_SEG
+    seg_full: np.ndarray  # (S,) int32 image id per patch (window order); pad = PAD_SEG
     pos_ids: np.ndarray  # (S, 2) int32 rotary (h, w) ids per patch (window order)
     num_patches: int  # real (unpadded) patch count
 
@@ -82,7 +83,8 @@ def vision_metadata(
     """Compute all host-side metadata for a packed batch of image grids.
 
     pad_to: optionally pad the patch dimension to this bucket size (multiple of
-    merge_unit); pad patches get segment id -1 so attention isolates them.
+    merge_unit); pad patches get segment id PAD_SEG (sorts last, keeping ids ascending
+    for the flash kernel) so attention isolates them.
     """
     grid_thw = [tuple(int(v) for v in g) for g in grid_thw]
     m2 = cfg.merge_unit
@@ -104,8 +106,8 @@ def vision_metadata(
         pad_n = pad_to - n_patches
         assert pad_n % m2 == 0, "bucket size must be a multiple of merge_unit"
         perm = np.concatenate([perm, np.arange(n_patches, pad_to)])
-        seg_window = np.concatenate([seg_window, np.full(pad_n, -1)])
-        seg_full = np.concatenate([seg_full, np.full(pad_n, -1)])
+        seg_window = np.concatenate([seg_window, np.full(pad_n, PAD_SEG)])
+        seg_full = np.concatenate([seg_full, np.full(pad_n, PAD_SEG)])
         pos = np.concatenate([pos, np.zeros((pad_n, 2), dtype=pos.dtype)])
 
     return VisionMetadata(
@@ -134,7 +136,7 @@ def _vit_block(params, cfg: VisionConfig, x, seg, cos, sin):
     q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
-    attn = segment_attention(q, k, v, seg)
+    attn = segment_attention_auto(q, k, v, seg)
     attn = attn.reshape(S, cfg.hidden_size) @ params["attn"]["wo"] + params["attn"]["bo"]
     x = x + attn
     h = rms_norm(x, params["norm2"]["scale"], cfg.rms_norm_eps)

@@ -55,8 +55,14 @@ def vlm_forward(
     attn_valid: Optional[jnp.ndarray] = None,
     cache: Optional[KVCache] = None,
     update_cache_len: bool = True,
+    logit_index: Optional[jnp.ndarray] = None,
 ):
-    """Full forward -> (logits (B,S,V) float32, new_cache)."""
+    """Full forward -> (logits float32, new_cache).
+
+    logits is (B, S, V), or (B, V) when logit_index (B,) is given — then only that
+    position's hidden state is projected (prefill needs just the last valid token;
+    projecting all positions would materialize a (B, S, V) fp32 tensor, ~5 GB at 3B
+    scale for S=1024)."""
     x = embed_tokens(params, input_ids)
     if pixel_values is not None:
         vis = vit_forward(
@@ -81,6 +87,8 @@ def vlm_forward(
         cache=cache,
         update_cache_len=update_cache_len,
     )
+    if logit_index is not None:
+        hidden = jnp.take_along_axis(hidden, logit_index[:, None, None], axis=1)[:, 0]
     logits = logits_from_hidden(params["text"], cfg.text, hidden)
     return logits, new_cache
 

@@ -39,6 +39,18 @@ def _sdpa(q, k, v, mask, scale):
     return out
 
 
+def segment_attention_auto(q, k, v, segment_ids, scale=None):
+    """Dispatch packed varlen attention: Pallas flash kernel on TPU (never materializes
+    the S×S logits), XLA reference elsewhere. Disable with ZOOMEARTH_NO_FLASH=1."""
+    import os
+
+    if jax.default_backend() == "tpu" and not os.environ.get("ZOOMEARTH_NO_FLASH"):
+        from .flash_attention import flash_segment_attention
+
+        return flash_segment_attention(q, k, v, segment_ids)
+    return segment_attention(q, k, v, segment_ids, scale)
+
+
 def segment_attention(q, k, v, segment_ids, scale=None):
     """Packed varlen self-attention for the ViT.
 

@@ -1,0 +1,251 @@
+"""Jitted generation runtime: bucketed prefill + while-loop decode with KV cache.
+
+TPU-native replacement for the reference's HF `generate` calls (demo.py:14,
+infer.py:101-124, grpo_trainer.py:561-565): the whole decode loop runs on device under
+one jit — token-by-token Python dispatch, host sampling, and host stop-checks are gone.
+
+Shape policy (the TPU-specific hard part, SURVEY.md §7.3 item 1):
+- prompts are right-padded to a length bucket; image patch counts are padded to a patch
+  bucket (pad patches carry segment id -1);
+- one compiled program per (batch, prompt_bucket, patch_bucket, max_new) tuple, cached;
+- decode is a lax.while_loop with early exit when every row has emitted a stop token.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VLMConfig
+from ..models.decoder import KVCache
+from ..models.rope import mrope_position_ids_batch
+from ..models.vit import vision_metadata
+from ..models.vlm import vlm_forward
+from ..ops.sampling import greedy, sample
+
+DEFAULT_LENGTH_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048)
+DEFAULT_PATCH_BUCKETS = (0, 256, 512, 1024, 1600, 2304, 3136, 4096, 6400, 8192, 10368, 12800, 16384, 20736, 24576, 32768)
+
+
+def bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"{n} exceeds largest bucket {buckets[-1]}")
+
+
+@dataclasses.dataclass
+class GenerationConfig:
+    max_new_tokens: int = 1024
+    temperature: float = 0.0  # 0 = greedy (reference demo); eval uses 0.01+sample
+    top_p: float = 1.0
+    # stop tokens default to (eos, endoftext) from the model config
+
+
+@dataclasses.dataclass
+class PreparedBatch:
+    """Host-prepared, bucket-padded model inputs for one generation call."""
+
+    input_ids: np.ndarray  # (B, S) right-padded
+    lengths: np.ndarray  # (B,)
+    position_ids: np.ndarray  # (3, B, S)
+    next_pos: np.ndarray  # (B,) first decode M-RoPE position
+    pixel_values: Optional[np.ndarray]  # (P, D) padded to patch bucket
+    vision_meta: Optional[dict]
+
+
+def prepare_batch(
+    cfg: VLMConfig,
+    token_lists: Sequence[Sequence[int]],
+    images_per_seq: Sequence[Sequence[Tuple[np.ndarray, Tuple[int, int, int]]]],
+    *,
+    length_buckets: Sequence[int] = DEFAULT_LENGTH_BUCKETS,
+    patch_buckets: Sequence[int] = DEFAULT_PATCH_BUCKETS,
+) -> PreparedBatch:
+    """Pack prompts + preprocessed images into bucket-padded arrays.
+
+    images_per_seq[b] is a list of (pixel_values, grid_thw) per image of sequence b, in
+    order of appearance. Pads input ids with cfg.tokens.pad on the right.
+    """
+    B = len(token_lists)
+    lengths = np.asarray([len(t) for t in token_lists], dtype=np.int32)
+    S = bucket(int(lengths.max()), length_buckets)
+    ids = np.full((B, S), cfg.tokens.pad, dtype=np.int32)
+    for b, toks in enumerate(token_lists):
+        ids[b, : len(toks)] = toks
+
+    grids_per_seq = [[g for _, g in imgs] for imgs in images_per_seq]
+    pos, next_pos = mrope_position_ids_batch(
+        ids,
+        grids_per_seq,
+        image_pad_id=cfg.tokens.image_pad,
+        merge_size=cfg.vision.spatial_merge_size,
+        attention_mask=(ids != cfg.tokens.pad).astype(np.int32)
+        if any(len(t) != S for t in token_lists)
+        else None,
+    )
+    # next_pos from mrope: position of first token AFTER the valid prompt.
+
+    all_pv = [pv for imgs in images_per_seq for pv, _ in imgs]
+    all_grids = [g for gs in grids_per_seq for g in gs]
+    pixel_values = None
+    meta_dev = None
+    if all_pv:
+        pv = np.concatenate(all_pv, axis=0)
+        P = bucket(pv.shape[0], patch_buckets)
+        meta = vision_metadata(all_grids, cfg.vision, pad_to=P)
+        if P > pv.shape[0]:
+            pv = np.concatenate([pv, np.zeros((P - pv.shape[0], pv.shape[1]), pv.dtype)])
+        pixel_values = pv
+        meta_dev = {
+            "perm": meta.perm,
+            "inv_perm_merged": meta.inv_perm_merged,
+            "seg_window": meta.seg_window,
+            "seg_full": meta.seg_full,
+            "pos_ids": meta.pos_ids,
+        }
+    return PreparedBatch(ids, lengths, pos, next_pos, pixel_values, meta_dev)
+
+
+class Generator:
+    """Compile-cached generation engine over a fixed param tree layout."""
+
+    def __init__(self, params, cfg: VLMConfig, max_cache_len: int = 4096, cache_dtype=None):
+        self.params = params
+        self.cfg = cfg
+        self.max_cache_len = max_cache_len
+        self.cache_dtype = cache_dtype or jnp.dtype(cfg.dtype)
+        self._prefill_fns = {}
+        self._decode_fns = {}
+
+    # -- jitted stages ------------------------------------------------------
+
+    def _prefill(self, params, ids, lengths, pos, pixel_values, meta, cache):
+        """Prefill the cache; returns (last-token logits (B, V), cache)."""
+        B, S = ids.shape
+        attn_positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+        attn_valid = attn_positions < lengths[:, None]
+        last, cache = vlm_forward(
+            params,
+            self.cfg,
+            ids,
+            pos,
+            pixel_values=pixel_values,
+            vision_meta=meta,
+            attn_positions=attn_positions,
+            attn_valid=attn_valid,
+            cache=cache,
+            update_cache_len=False,
+            logit_index=lengths - 1,
+        )
+        cache = cache._replace(length=lengths)
+        return last, cache
+
+    def _decode_loop(self, params, first_logits, cache, next_pos, key, *, max_new, temperature, top_p, stop_tokens):
+        """While-loop decode. Returns tokens (B, max_new) padded with pad id after stop."""
+        B = first_logits.shape[0]
+        pad_id = self.cfg.tokens.pad
+        stop = jnp.asarray(stop_tokens, jnp.int32)
+
+        def pick(logits, k):
+            if temperature <= 0.0:
+                return greedy(logits)
+            return sample(logits, k, temperature, top_p)
+
+        def cond(state):
+            step, done, *_ = state
+            return (step < max_new) & ~jnp.all(done)
+
+        def body(state):
+            step, done, tokens_buf, cur_logits, cache, pos, key = state
+            key, sub = jax.random.split(key)
+            tok = pick(cur_logits, sub)
+            tok = jnp.where(done, pad_id, tok)
+            tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, tok[:, None], (0, step))
+            newly_done = jnp.isin(tok, stop)
+            done_next = done | newly_done
+            # forward the new token (even for done rows — masked out of the buffer)
+            pos3 = jnp.broadcast_to(pos[None, :, None], (3, B, 1))
+            logits, cache = vlm_forward(
+                params,
+                self.cfg,
+                tok[:, None],
+                pos3,
+                attn_positions=cache.length[:, None],
+                cache=cache,
+            )
+            return step + 1, done_next, tokens_buf, logits[:, 0], cache, pos + 1, key
+
+        tokens_buf = jnp.full((B, max_new), pad_id, jnp.int32)
+        done0 = jnp.zeros((B,), jnp.bool_)
+        state = (0, done0, tokens_buf, first_logits, cache, next_pos, key)
+        _, _, tokens_buf, _, cache, _, _ = jax.lax.while_loop(cond, body, state)
+        return tokens_buf, cache
+
+    # -- public API ---------------------------------------------------------
+
+    def generate(
+        self,
+        batch: PreparedBatch,
+        gen: GenerationConfig = GenerationConfig(),
+        *,
+        seed: int = 0,
+        return_cache: bool = False,
+    ):
+        """Run prefill + decode. Returns list of generated token lists (stop token
+        excluded), right-trimmed."""
+        cfg = self.cfg
+        B, S = batch.input_ids.shape
+        if S + gen.max_new_tokens > self.max_cache_len:
+            raise ValueError(
+                f"prompt bucket ({S}) + max_new_tokens ({gen.max_new_tokens}) exceeds "
+                f"max_cache_len ({self.max_cache_len})"
+            )
+        stop_tokens = (cfg.tokens.eos, cfg.tokens.endoftext)
+        cache = KVCache.create(cfg.text, B, self.max_cache_len, self.cache_dtype)
+
+        n_patches = batch.pixel_values.shape[0] if batch.pixel_values is not None else 0
+        pf_key = (B, S, n_patches)
+        if pf_key not in self._prefill_fns:
+            self._prefill_fns[pf_key] = jax.jit(self._prefill)
+        prefill = self._prefill_fns[pf_key]
+
+        dc_key = (B, gen.max_new_tokens, gen.temperature, gen.top_p, stop_tokens)
+        if dc_key not in self._decode_fns:
+            self._decode_fns[dc_key] = jax.jit(
+                functools.partial(
+                    self._decode_loop,
+                    max_new=gen.max_new_tokens,
+                    temperature=gen.temperature,
+                    top_p=gen.top_p,
+                    stop_tokens=stop_tokens,
+                )
+            )
+        decode = self._decode_fns[dc_key]
+
+        meta = None
+        if batch.vision_meta is not None:
+            meta = {k: jnp.asarray(v) for k, v in batch.vision_meta.items()}
+        pv = jnp.asarray(batch.pixel_values) if batch.pixel_values is not None else None
+        first_logits, cache = prefill(
+            self.params, jnp.asarray(batch.input_ids), jnp.asarray(batch.lengths),
+            jnp.asarray(batch.position_ids), pv, meta, cache,
+        )
+        tokens, cache = decode(
+            self.params, first_logits, cache, jnp.asarray(batch.next_pos), jax.random.key(seed)
+        )
+        tokens = np.asarray(tokens)
+        out = []
+        for b in range(B):
+            row = tokens[b]
+            stops = np.isin(row, stop_tokens)
+            end = int(np.argmax(stops)) if stops.any() else len(row)
+            out.append(row[:end].tolist())
+        if return_cache:
+            return out, cache
+        return out
