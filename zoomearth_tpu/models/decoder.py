@@ -25,18 +25,21 @@ from .vit import rms_norm
 
 
 class KVCache(NamedTuple):
-    """Per-layer preallocated KV cache. k/v: (L, B, T, Hkv, D); length: (B,) valid entries."""
+    """Preallocated KV cache: per-layer tuples of (B, T, Hkv, D) arrays (a flat pytree —
+    per-layer dynamic_update_slice aliases in place under jit; a single stacked
+    (L, B, T, ...) array would force whole-cache copies on every layer update)."""
 
-    k: jnp.ndarray
-    v: jnp.ndarray
-    length: jnp.ndarray
+    k: Tuple[jnp.ndarray, ...]
+    v: Tuple[jnp.ndarray, ...]
+    length: jnp.ndarray  # (B,) valid entries
 
     @staticmethod
     def create(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
-        shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        shape = (batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+        L = cfg.num_hidden_layers
         return KVCache(
-            k=jnp.zeros(shape, dtype),
-            v=jnp.zeros(shape, dtype),
+            k=tuple(jnp.zeros(shape, dtype) for _ in range(L)),
+            v=tuple(jnp.zeros(shape, dtype) for _ in range(L)),
             length=jnp.zeros((batch,), jnp.int32),
         )
 
@@ -147,14 +150,18 @@ def decoder_forward(
     new_cache = None
     if cache is not None:
         new_len = cache.length + S if update_cache_len else cache.length
-        new_cache = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v), length=new_len)
+        new_cache = KVCache(k=tuple(new_k), v=tuple(new_v), length=new_len)
     return x, new_cache
 
 
 def logits_from_hidden(params, cfg: TextConfig, hidden: jnp.ndarray) -> jnp.ndarray:
-    """(B, S, E) -> (B, S, V) in float32 (fp32 logits: parity-critical for argmax ties)."""
+    """(B, S, E) -> (B, S, V) logits, fp32 ACCUMULATION in the weights' native dtype.
+
+    preferred_element_type=f32 gives fp32 MXU accumulation without materializing an
+    fp32 copy of the 151936xE embedding (which costs 1.2 GB of HBM traffic per decode
+    step at 3B scale). With fp32 params (CPU parity tests) this is exact fp32."""
     if cfg.tie_word_embeddings:
         w = params["embed"]["weight"].T
     else:
         w = params["lm_head"]["weight"]
-    return jnp.asarray(hidden, jnp.float32) @ jnp.asarray(w, jnp.float32)
+    return jnp.dot(hidden.astype(w.dtype), w, preferred_element_type=jnp.float32)

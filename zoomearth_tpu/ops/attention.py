@@ -65,6 +65,24 @@ def segment_attention(q, k, v, segment_ids, scale=None):
     return _sdpa(q, k, v, mask, scale)
 
 
+def _gqa_sdpa(q, k, v, mask, scale):
+    """Grouped-query attention WITHOUT materializing repeated kv heads (a jnp.repeat
+    here would re-read Hq/Hkv times the cache bytes per decode step — the decode loop's
+    main bandwidth hazard).
+
+    q (B, S, H, D); k/v (B, T, Hkv, D); mask broadcastable to (B, Hkv, G, S, T)."""
+    B, S, H, D = q.shape
+    Hkv = k.shape[2]
+    G = H // Hkv
+    qg = q.reshape(B, S, Hkv, G, D)
+    logits = jnp.einsum("bskgd,btkd->bkgst", qg, k).astype(jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bkgst,btkd->bskgd", probs.astype(v.dtype), v)
+    return out.reshape(B, S, H, D)
+
+
 def causal_attention(q, k, v, *, positions=None, kv_positions=None, valid=None, scale=None):
     """Batched causal self-attention with GQA (prefill path).
 
@@ -78,9 +96,6 @@ def causal_attention(q, k, v, *, positions=None, kv_positions=None, valid=None, 
     T = k.shape[1]
     if scale is None:
         scale = D**-0.5
-    n_rep = H // k.shape[2]
-    k = _repeat_kv(k, n_rep)
-    v = _repeat_kv(v, n_rep)
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
     if kv_positions is None:
@@ -88,7 +103,7 @@ def causal_attention(q, k, v, *, positions=None, kv_positions=None, valid=None, 
     mask = kv_positions[:, None, :] <= positions[:, :, None]  # (B, S, T)
     if valid is not None:
         mask = mask & valid[:, None, :]
-    return _sdpa(q, k, v, mask[:, None], scale)
+    return _gqa_sdpa(q, k, v, mask[:, None, None], scale)
 
 
 def decode_attention(q, k_cache, v_cache, *, kv_len, scale=None):
@@ -100,8 +115,5 @@ def decode_attention(q, k_cache, v_cache, *, kv_len, scale=None):
     T = k_cache.shape[1]
     if scale is None:
         scale = D**-0.5
-    n_rep = H // k_cache.shape[2]
-    k = _repeat_kv(k_cache, n_rep)
-    v = _repeat_kv(v_cache, n_rep)
     valid = jnp.arange(T)[None, :] < kv_len[:, None]  # (B, T)
-    return _sdpa(q, k, v, valid[:, None, None], scale)
+    return _gqa_sdpa(q, k_cache, v_cache, valid[:, None, None, None], scale)
