@@ -1,0 +1,117 @@
+"""Evaluator + eval harness tests (scripted generator; reference record schema)."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from zoomearth_tpu.agent.processor import Processor
+from zoomearth_tpu.config import VLMConfig
+from zoomearth_tpu.eval.infer import record_dict, run_inference
+from zoomearth_tpu.eval.score import evaluate_dataset, evaluation_metrics, is_correct
+from zoomearth_tpu.runtime.generate import GenerationConfig
+from zoomearth_tpu.tokenizer import FakeTokenizer
+from zoomearth_tpu.train.data import LRSGROSample, load_lrs_gro_jsonl
+
+CFG = VLMConfig.tiny()
+
+
+def _item(gt, a1, a2, typ="global"):
+    return {"ground_truth": gt, "answer1": a1, "answer2": a2, "type": typ}
+
+
+class TestScore:
+    def test_exact_and_case(self):
+        assert is_correct("Ship", "ship")
+        assert not is_correct("ship", "bridge")
+
+    def test_stage2_fallback_to_stage1(self):
+        m = evaluate_dataset([_item("car", "car", None)], verbose=False)
+        assert m["overall_acc1"] == 1.0 and m["overall_acc2"] == 1.0
+
+    def test_per_type_and_fixed_regressed(self):
+        items = [
+            _item("car", "car", "car", "global"),      # both right
+            _item("ship", "dog", "ship", "object"),    # fixed by stage 2
+            _item("lake", "lake", "dog", "object"),    # regressed
+        ]
+        m = evaluate_dataset(items, verbose=False)
+        assert m["fixed"] == 1 and m["regressed"] == 1
+        assert m["per_type"]["object"]["n"] == 2
+        assert m["overall_acc1"] == pytest.approx(2 / 3)
+        assert m["overall_acc2"] == pytest.approx(2 / 3)
+
+    def test_metrics_from_file(self, tmp_path):
+        p = tmp_path / "results.jsonl"
+        with open(p, "w") as f:
+            for it in [_item("car", "car", "car"), _item("x", "y", "z")]:
+                f.write(json.dumps(it) + "\n")
+        m = evaluation_metrics(str(p), verbose=False)
+        assert m["n"] == 2 and m["overall_acc2"] == 0.5
+
+
+class TestDataReaders:
+    def test_lrs_gro_loader(self, tmp_path):
+        p = tmp_path / "rl.jsonl"
+        rows = [
+            {"question_id": "1", "image_name": "a/b/img1.png", "category": "count",
+             "question": "how many?", "higher_level": "perception", "ground_truth": "3",
+             "bbox": [], "type": "global", "split": "test"},
+            {"question_id": "2", "image_name": "img2.png", "category": "color",
+             "question": "color?", "higher_level": "attribute", "ground_truth": "red",
+             "bbox": [1, 2, 3, 4], "type": "object", "split": "test"},
+        ]
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        samples = load_lrs_gro_jsonl([str(p)], ["/imgs"])
+        assert len(samples) == 2
+        assert samples[0].image_path == "/imgs/img1.png"  # basename join
+        assert samples[1].bbox == [1, 2, 3, 4]
+
+
+class ScriptedGenerator:
+    def __init__(self, tokenizer, outputs_per_call):
+        self.cfg = CFG
+        self.tokenizer = tokenizer
+        self.script = list(outputs_per_call)
+
+    def generate(self, batch, gen=None, seed=0):
+        texts = self.script.pop(0)
+        return [self.tokenizer.encode(t) for t in texts[: batch.input_ids.shape[0]]]
+
+
+def test_run_inference_schema_and_sharding(tmp_path):
+    tk = FakeTokenizer(CFG.tokens)
+    proc = Processor(tk, CFG, max_pixels=4 * 28 * 28)
+    rng = np.random.default_rng(0)
+    imgs = {f"img{i}.png": Image.fromarray(rng.integers(0, 255, (600, 600, 3), dtype=np.uint8)) for i in range(4)}
+    samples = [
+        LRSGROSample(question_id=str(i), image_name=f"img{i}.png", category="cat",
+                     question=f"q{i}?", higher_level="perception", ground_truth="car",
+                     bbox=[10, 10, 40, 40], type="object", image_path=f"img{i}.png")
+        for i in range(4)
+    ]
+    stage1 = '<think>see</think>{"bbox_2d": [10, 10, 40, 40]}'
+    stage2 = "<think>zoom</think><answer>car</answer>"
+    # rank 0 of 2 -> samples 0, 2 in one batch: one generate for stage1, one for stage2
+    g = ScriptedGenerator(tk, [[stage1, stage1], [stage2, stage2]])
+    out = run_inference(
+        g, proc, samples, str(tmp_path / "r0.jsonl"),
+        batch_size=8, rank=0, world_size=2,
+        gen=GenerationConfig(max_new_tokens=8),
+        image_loader=lambda s: imgs[s.image_name],
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 2
+    assert [r["question_id"] for r in recs] == ["0", "2"]
+    for r in recs:
+        assert set(r) == {"question_id", "ground_truth", "answer1", "answer2", "bbox_ref",
+                          "bbox", "prompt", "category", "stage1", "stage2", "type",
+                          "image", "error", "model_id"}
+        assert r["answer2"] == "car" and r["error"] is False
+        assert r["bbox"] == [10, 10, 40, 40]
+    # records score perfectly
+    m = evaluate_dataset(recs, verbose=False)
+    assert m["overall_acc2"] == 1.0

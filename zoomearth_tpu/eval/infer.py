@@ -1,0 +1,83 @@
+"""Batch two-stage inference over LRS-GRO: the eval harness (reference src/eval/infer.py).
+
+Runs the episode driver over batches of the test split and writes jsonl result records
+with the reference's exact schema (infer.py:126-143) so an unmodified eval.py-style
+scorer (our eval.score) consumes them. Data-parallel sharding over processes follows
+the reference's per-rank output-file convention (results/{exp}{rank}.jsonl).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+from PIL import Image
+
+from ..agent.episode import EpisodeResult, run_episodes
+from ..agent.processor import Processor
+from ..image.geometry import extract_bbox
+from ..runtime.generate import GenerationConfig, Generator
+from ..train.data import LRSGROSample, batched
+
+
+def record_dict(sample: LRSGROSample, r: EpisodeResult, model_id: str = "zoomearth-tpu") -> dict:
+    """Reference record schema (infer.py:126-143)."""
+    return {
+        "question_id": sample.question_id,
+        "ground_truth": sample.ground_truth,
+        "answer1": r.answer1,
+        "answer2": r.answer2,
+        "bbox_ref": sample.bbox,
+        "bbox": extract_bbox(r.stage1, 1),
+        "prompt": sample.question,
+        "category": sample.category,
+        "stage1": r.stage1,
+        "stage2": r.stage2,
+        "type": sample.type,
+        "image": sample.image_name,
+        "error": r.error,
+        "model_id": model_id,
+    }
+
+
+def run_inference(
+    generator: Generator,
+    processor: Processor,
+    samples: Sequence[LRSGROSample],
+    out_path: str,
+    *,
+    batch_size: int = 8,
+    rank: int = 0,
+    world_size: int = 1,
+    stage1_max_size: int = 512,
+    gen: GenerationConfig = GenerationConfig(max_new_tokens=1024, temperature=0.01),
+    model_id: str = "zoomearth-tpu",
+    image_loader=None,
+) -> str:
+    """Run the two-stage eval over this rank's shard; returns the output path.
+
+    image_loader(sample) -> PIL image; defaults to opening sample.image_path.
+    Reference eval decoding: temperature 0.01, <=512px stage-1 inputs (infer.py:78,112)."""
+    if image_loader is None:
+        def image_loader(s):
+            return Image.open(s.image_path).convert("RGB")
+
+    shard = [s for i, s in enumerate(samples) if i % world_size == rank]
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as fout:
+        for batch in batched(shard, batch_size):
+            images = [image_loader(s) for s in batch]
+            questions = [s.question for s in batch]
+            results = run_episodes(
+                generator,
+                processor,
+                questions,
+                images,
+                stage1_max_size=stage1_max_size,
+                gen=gen,
+            )
+            for s, r in zip(batch, results):
+                fout.write(json.dumps(record_dict(s, r, model_id), ensure_ascii=False) + "\n")
+            fout.flush()
+    return out_path
