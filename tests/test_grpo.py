@@ -1,0 +1,176 @@
+"""GRPO trainer tests: advantage math, stop masking, loss, and a full tiny-model step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from zoomearth_tpu.agent import prompts as PT
+from zoomearth_tpu.agent.processor import Processor
+from zoomearth_tpu.config import VLMConfig
+from zoomearth_tpu.models.params import init_vlm_params
+from zoomearth_tpu.tokenizer import FakeTokenizer
+from zoomearth_tpu.train.data import LRSGROSample
+from zoomearth_tpu.train.grpo import (
+    GRPOConfig,
+    GRPOTrainer,
+    _first_stop_mask,
+    grpo_loss,
+    per_token_logps,
+)
+
+CFG = VLMConfig.tiny()
+
+
+class TestStopMask:
+    def test_basic(self):
+        ids = np.array([[5, 6, 7, 99, 8, 9]])
+        m = _first_stop_mask(ids, np.array([1]), stops=(99,))
+        assert m.tolist() == [[0, 1, 1, 1, 0, 0]]  # stop token included
+
+    def test_no_stop_runs_to_end(self):
+        ids = np.array([[5, 6, 7, 8]])
+        m = _first_stop_mask(ids, np.array([2]), stops=(99,))
+        assert m.tolist() == [[0, 0, 1, 1]]
+
+
+class TestAdvantages:
+    def test_mean_centered_grouped(self):
+        # grouped advantage = reward - group mean, no std division (grpo_trainer.py:733)
+        rewards = np.array([1.0, 3.0, 0.0, 4.0])  # two groups of G=2
+        G = 2
+        adv = rewards - np.repeat(rewards.reshape(-1, G).mean(1), G)
+        np.testing.assert_allclose(adv, [-1.0, 1.0, -2.0, 2.0])
+
+
+class TestLossMath:
+    def _mini_batch(self, params):
+        rng = np.random.default_rng(0)
+        ids = rng.integers(1, 400, size=(2, 16)).astype(np.int32)
+        pos = np.broadcast_to(np.arange(16)[None, None], (3, 2, 16)).copy()
+        mask = np.zeros((2, 16), np.int32)
+        mask[:, 8:] = 1
+        return dict(
+            input_ids=jnp.asarray(ids),
+            position_ids=jnp.asarray(pos),
+            pixel_values=None,
+            vision_meta=None,
+            completion_mask=jnp.asarray(mask),
+            advantages=jnp.asarray(np.array([1.0, -1.0], np.float32)),
+            old_logps=None,
+            ref_logps=None,
+        )
+
+    def test_loss_zero_at_old_equals_new_zero_beta(self):
+        """With old == new (ratio 1) loss = -mean(adv) over masked tokens = 0 when
+        advantages sum to zero (mean-centered groups)."""
+        params = init_vlm_params(jax.random.key(1), CFG)
+        batch = self._mini_batch(params)
+        loss, aux = grpo_loss(params, CFG, batch, beta=0.0, epsilon_low=0.2, epsilon_high=0.2)
+        assert float(loss) == pytest.approx(0.0, abs=1e-5)
+        assert float(aux["completion_length"]) == 8.0
+
+    def test_kl_zero_against_self(self):
+        params = init_vlm_params(jax.random.key(1), CFG)
+        batch = self._mini_batch(params)
+        ref = per_token_logps(
+            params, CFG, batch["input_ids"], batch["position_ids"], None, None
+        )
+        batch["ref_logps"] = ref
+        loss, aux = grpo_loss(params, CFG, batch, beta=0.04, epsilon_low=0.2, epsilon_high=0.2)
+        assert float(aux["kl"]) == pytest.approx(0.0, abs=1e-5)
+
+    def test_per_token_logps_chunking_invariance(self):
+        params = init_vlm_params(jax.random.key(1), CFG)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(1, 400, size=(2, 20)).astype(np.int32))
+        pos = jnp.asarray(np.broadcast_to(np.arange(20)[None, None], (3, 2, 20)).copy())
+        a = per_token_logps(params, CFG, ids, pos, None, None, chunk=4)
+        b = per_token_logps(params, CFG, ids, pos, None, None, chunk=16)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        # first position has no prediction
+        assert np.asarray(a)[:, 0].tolist() == [0.0, 0.0]
+
+
+@pytest.fixture
+def tiny_trainer(monkeypatch):
+    monkeypatch.setattr(PT, "rl_prompt", lambda q: PT.PREFIX + q + "<|im_end|>\n<|im_start|>assistant\n")
+    params = init_vlm_params(jax.random.key(0), CFG)
+    proc = Processor(FakeTokenizer(CFG.tokens), CFG, max_pixels=4 * 28 * 28)
+    rng = np.random.default_rng(3)
+    imgs = {}
+
+    def loader(s):
+        if s.image_name not in imgs:
+            imgs[s.image_name] = Image.fromarray(
+                rng.integers(0, 255, (600, 600, 3), dtype=np.uint8)
+            )
+        return imgs[s.image_name]
+
+    def length_reward(c1, c2, **kw):
+        return [float(len(a) % 7) / 7.0 for a in c1]
+
+    grpo_cfg = GRPOConfig(
+        num_generations=2, max_completion_length=6, stage2_max_completion_length=4,
+        rollout_temperature=1.0, learning_rate=1e-3, beta=0.04, num_iterations=1,
+    )
+    trainer = GRPOTrainer(
+        params, CFG, grpo_cfg, proc, [length_reward], reward_names=["length"],
+        max_cache_len=512, image_loader=loader,
+        length_buckets=(256, 384), patch_buckets=(64, 128),
+        cache_dtype="float32",
+    )
+    return trainer
+
+
+def _samples():
+    return [
+        LRSGROSample(question_id="1", image_name="a.png", category="c", question="what?",
+                     higher_level="p", ground_truth="car", bbox=[10, 10, 40, 40], type="object"),
+        LRSGROSample(question_id="2", image_name="b.png", category="c", question="count?",
+                     higher_level="p", ground_truth="3", bbox=[], type="global"),
+    ]
+
+
+def test_full_grpo_step(tiny_trainer):
+    t = tiny_trainer
+    before = jax.tree.leaves(t.params)[0].copy()
+    metrics = t.step(_samples(), seed=0)
+    assert np.isfinite(metrics["loss"])
+    assert "rewards/length" in metrics and metrics["reward"] >= 0
+    assert "kl" in metrics and np.isfinite(metrics["kl"])
+    after = jax.tree.leaves(t.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))  # params updated
+
+
+def test_rollout_structure(tiny_trainer):
+    t = tiny_trainer
+    rb = t.rollout(_samples(), seed=1)
+    G = t.grpo.num_generations
+    assert rb.input_ids.shape[0] == 2 * G
+    # sample 0 has a dataset bbox -> stage 2 ran (completion2 non-empty);
+    # sample 1 is global (bbox []) -> stage 2 skipped
+    assert all(c != "" for c in rb.completions2[:G])
+    assert all(c == "" for c in rb.completions2[G:])
+    # grouped advantages mean-center within each group
+    adv = rb.advantages.reshape(-1, G)
+    np.testing.assert_allclose(adv.mean(1), 0.0, atol=1e-6)
+    # completion mask nonzero and starts after the prompt
+    assert rb.completion_mask.sum() > 0
+    first_sup = rb.completion_mask.argmax(1)
+    assert (first_sup > 0).all()
+    # ref logps present (beta > 0)
+    assert rb.ref_logps is not None
+
+
+def test_num_iterations_buffering(tiny_trainer):
+    t = tiny_trainer
+    t.grpo = GRPOConfig(**{**t.grpo.__dict__, "num_iterations": 2})
+    m1 = t.step(_samples(), seed=0)
+    buffered = t._buffered
+    m2 = t.step(_samples(), seed=99)  # must reuse the buffer, not re-roll
+    assert t._buffered is buffered
+    m3 = t.step(_samples(), seed=100)  # new rollout
+    assert t._buffered is not buffered
+    assert np.isfinite(m2["loss"]) and np.isfinite(m3["loss"])

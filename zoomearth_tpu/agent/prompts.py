@@ -76,6 +76,14 @@ def stage1_prompt(question: str) -> str:
     return PREFIX + question + INSTRUCTION_EVAL
 
 
+def rl_prompt(question: str) -> str:
+    """The LRS_GRO RL training template (qwen_module.py:85-114): same PREFIX/body but
+    WITHOUT the <stage_2_reasoning> rule line and with a newline before the assistant
+    turn ("<|im_end|>\\n<|im_start|>assistant\\n")."""
+    body = INSTRUCTION.rsplit("<|im_end|>", 1)[0]
+    return PREFIX + question + body + "<|im_end|>\n<|im_start|>assistant\n"
+
+
 def stage2_prompt(prompt1: str, stage1_output: str) -> str:
     """Continue the assistant turn with the pre-<answer> reasoning and a second image
     (infer.py:227)."""
