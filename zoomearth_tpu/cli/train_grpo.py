@@ -1,0 +1,93 @@
+"""GRPO training CLI (reference run_scripts/train_grpo.sh -> grpo_jsonl.py surface).
+
+Flag names follow the reference TrlParser args (grpo_jsonl.py:66-116, train_grpo.sh:39-60);
+`data_file_paths` / `image_folders` are `:`-separated like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from ..rewards.registry import get_reward_funcs
+from ..train.checkpoints import CheckpointManager
+from ..train.data import batched, load_lrs_gro_jsonl
+from ..train.grpo import GRPOConfig, GRPOTrainer
+from .common import load_model_and_processor
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="ZoomEarth-TPU GRPO")
+    p.add_argument("--model_name_or_path", required=True)
+    p.add_argument("--data_file_paths", required=True, help="`:`-separated jsonl paths")
+    p.add_argument("--image_folders", required=True, help="`:`-separated image folders")
+    p.add_argument("--output_dir", default="./grpo_out")
+    p.add_argument("--per_device_train_batch_size", type=int, default=4)
+    p.add_argument("--num_generations", type=int, default=4)
+    p.add_argument("--max_completion_length", type=int, default=2048)
+    p.add_argument("--learning_rate", type=float, default=1e-7)
+    p.add_argument("--beta", type=float, default=0.04)
+    p.add_argument("--epsilon", type=float, default=0.2)
+    p.add_argument("--epsilon_high", type=float, default=None)
+    p.add_argument("--num_iterations", type=int, default=1)
+    p.add_argument("--reward_funcs", nargs="+", default=["iou", "format", "answer"])
+    p.add_argument("--num_train_epochs", type=int, default=1)
+    p.add_argument("--save_steps", type=int, default=50)
+    p.add_argument("--logging_steps", type=int, default=1)
+    p.add_argument("--max_samples", type=int, default=2400)  # reference select(range(2400))
+    p.add_argument("--resume_from_checkpoint", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    params, cfg, processor = load_model_and_processor(args.model_name_or_path)
+    samples = load_lrs_gro_jsonl(args.data_file_paths.split(":"), args.image_folders.split(":"))
+    if args.max_samples:
+        samples = samples[: args.max_samples]
+
+    grpo_cfg = GRPOConfig(
+        num_generations=args.num_generations,
+        max_completion_length=args.max_completion_length,
+        stage2_max_completion_length=min(args.max_completion_length, 800),
+        learning_rate=args.learning_rate,
+        beta=args.beta,
+        epsilon_low=args.epsilon,
+        epsilon_high=args.epsilon_high if args.epsilon_high is not None else args.epsilon,
+        num_iterations=args.num_iterations,
+    )
+    trainer = GRPOTrainer(
+        params, cfg, grpo_cfg, processor,
+        get_reward_funcs(args.reward_funcs), reward_names=args.reward_funcs,
+    )
+    ckpt = CheckpointManager(args.output_dir)
+    start_step = 0
+    if args.resume_from_checkpoint:
+        latest = ckpt.latest()
+        if latest is not None:
+            trainer.params, opt_state, meta = ckpt.restore(latest, trainer.params, trainer.opt_state)
+            if opt_state is not None:
+                trainer.opt_state = opt_state
+            start_step = meta["step"]
+
+    metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
+    os.makedirs(args.output_dir, exist_ok=True)
+    global_step = 0
+    with open(metrics_path, "a") as mf:
+        for epoch in range(args.num_train_epochs):
+            for batch in batched(samples, args.per_device_train_batch_size, drop_last=True):
+                global_step += 1
+                if global_step <= start_step:
+                    continue
+                m = trainer.step(batch, seed=args.seed + global_step)
+                if global_step % args.logging_steps == 0:
+                    rec = {"step": global_step, "epoch": epoch, **m}
+                    print(json.dumps(rec))
+                    mf.write(json.dumps(rec) + "\n")
+                    mf.flush()
+                if global_step % args.save_steps == 0:
+                    ckpt.save(global_step, trainer.params, trainer.opt_state,
+                              extra={"epoch": epoch})
+
+
+if __name__ == "__main__":
+    main()
