@@ -7,7 +7,9 @@ flagship Qwen2.5-VL-3B config, bf16, batch of 8 episodes per wave —
            real runs EOS earlier, so this is worst-case decode work)
   stage 2: host crop (512px window from the full-res tile) -> preprocess -> prefill
            (~1180 tok incl. 2 images) -> decode 96 tokens
-Host preprocessing is measured inside the loop (it is part of the product latency).
+Host pipeline uses the native C++ ops (zoomearth_tpu.native) and the next wave's
+stage-1 preprocessing is PREFETCHED on a worker thread while the device decodes the
+current wave (image/loader.py) — the north-star overlap.
 
 Weight values are random (no checkpoint on disk); throughput is value-independent.
 vs_baseline uses an ESTIMATED A100 vLLM reference of 2.0 q/s/GPU for the same episode
@@ -32,8 +34,6 @@ A100_VLLM_BASELINE_QPS = 2.0  # documented estimate, see module docstring
 
 def synthetic_tile(seed, size=5000):
     rng = np.random.default_rng(seed)
-    # Low-entropy synthetic "satellite tile" (constant blocks compress PIL work
-    # realistically vs pure noise)
     small = rng.integers(0, 255, (50, 50, 3), dtype=np.uint8)
     return np.kron(small, np.ones((size // 50, size // 50, 1), dtype=np.uint8))
 
@@ -41,74 +41,93 @@ def synthetic_tile(seed, size=5000):
 def main():
     import jax
     import jax.numpy as jnp
-    from PIL import Image
 
     from zoomearth_tpu.config import VLMConfig
-    from zoomearth_tpu.image.geometry import cut_image, resize_image_with_scale
-    from zoomearth_tpu.image.preprocess import preprocess_image
-    from zoomearth_tpu.models.rope import mrope_position_ids_batch
-    from zoomearth_tpu.runtime.generate import GenerationConfig, Generator, PreparedBatch, bucket, prepare_batch
+    from zoomearth_tpu.image.loader import PrefetchLoader, TileImage
+    from zoomearth_tpu.image.preprocess import preprocess_image_fast
+    from zoomearth_tpu.runtime.generate import GenerationConfig, Generator, prepare_batch
     from __graft_entry__ import _zero_params
 
     cfg = VLMConfig.qwen2_5_vl_3b()
     tok = cfg.tokens
-    dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
 
     params = _zero_params(cfg, jnp.bfloat16)
     gen = Generator(params, cfg, max_cache_len=2048, cache_dtype=jnp.bfloat16)
-
-    tiles = [Image.fromarray(synthetic_tile(i)) for i in range(BATCH)]
+    tiles = [TileImage(synthetic_tile(i)) for i in range(BATCH)]
     rng = np.random.default_rng(0)
 
-    def build_stage1(tiles):
+    def resize_512(tile):
+        w, h = tile.size
+        scale = 512 / max(w, h)
+        if scale < 1:
+            return tile.resize((int(w * scale), int(h * scale)))
+        return tile
+
+    def build_stage1(_wave):
         token_lists, images = [], []
         for t in tiles:
-            small, _scale = resize_image_with_scale(t, 512)
-            pv, grid = preprocess_image(small, max_pixels=512 * 512)
+            small = resize_512(t)
+            pv, grid = preprocess_image_fast(small.array, max_pixels=512 * 512)
             n_img = (grid[0] * grid[1] * grid[2]) // cfg.vision.merge_unit
             ids = (
                 [tok.im_start] + list(rng.integers(100, 100000, size=20))
                 + [tok.vision_start] + [tok.image_pad] * n_img + [tok.vision_end]
-                + list(rng.integers(100, 100000, size=350))  # ~instruction length
+                + list(rng.integers(100, 100000, size=350))
             )
             token_lists.append(ids)
             images.append([(pv, grid)])
         return prepare_batch(cfg, token_lists, images), token_lists, images
 
-    def build_stage2(tiles, token_lists, images):
-        token_lists2, images2 = [], []
-        for t, ids, imgs in zip(tiles, token_lists, images):
-            # synthesize the bbox the model "chose" and crop from full-res
+    def build_stage2_chunks(out1_tokens, b1):
+        """Continuation chunks: ONLY the crop's vision tokens (stage-1 prompt +
+        completion stay in the KV cache — the prefix-reuse optimization)."""
+        from zoomearth_tpu.image.geometry import crop_window
+        from zoomearth_tpu.runtime.generate import prepare_continuation
+
+        chunks, chunk_imgs, keep, starts = [], [], [], []
+        for i, t in enumerate(tiles):
             bbox = [2200, 2200, 2380, 2350]
-            crop, _ = resize_image_with_scale(cut_image(t, bbox, 512), 512)
-            pv2, grid2 = preprocess_image(crop, max_pixels=512 * 512)
+            win = crop_window(bbox, t.width, t.height, 512)
+            crop = resize_512(t.crop(win))
+            pv2, grid2 = preprocess_image_fast(crop.array, max_pixels=512 * 512)
             n2 = (grid2[0] * grid2[1] * grid2[2]) // cfg.vision.merge_unit
-            ids2 = (
-                list(ids) + list(rng.integers(100, 100000, size=STAGE1_NEW))
-                + [tok.vision_start] + [tok.image_pad] * n2 + [tok.vision_end]
-            )
-            token_lists2.append(ids2)
-            images2.append(imgs + [(pv2, grid2)])
-        return prepare_batch(cfg, token_lists2, images2)
+            chunks.append([tok.vision_start] + [tok.image_pad] * n2 + [tok.vision_end])
+            chunk_imgs.append([(pv2, grid2)])
+            kept = len(out1_tokens[i])
+            keep.append(int(b1.lengths[i]) + kept)
+            starts.append(int(b1.next_pos[i]) + kept)
+        return prepare_continuation(cfg, chunks, chunk_imgs, starts), np.asarray(keep, np.int32)
 
     g1 = GenerationConfig(max_new_tokens=STAGE1_NEW, temperature=0.01)
     g2 = GenerationConfig(max_new_tokens=STAGE2_NEW, temperature=0.01)
 
-    def run_wave(seed):
-        b1, tl, im = build_stage1(tiles)
-        out1 = gen.generate(b1, g1, seed=seed)
-        b2 = build_stage2(tiles, tl, im)
-        out2 = gen.generate(b2, g2, seed=seed + 1)
+    import os
+
+    timing = os.environ.get("BENCH_TIMING") == "1"
+
+    def run_wave(prebuilt, seed):
+        b1, tl, im = prebuilt
+        t0 = time.time()
+        out1, cache = gen.generate(b1, g1, seed=seed, return_cache=True)
+        t1 = time.time()
+        bc, keep = build_stage2_chunks(out1, b1)
+        t2 = time.time()
+        out2 = gen.continue_generate(cache, bc, keep, g2, seed=seed + 1)
+        if timing:
+            print(f"  gen1 {t1 - t0:.2f}s | s2 host {t2 - t1:.2f}s | gen2 {time.time() - t2:.2f}s",
+                  file=sys.stderr)
         return out1, out2
 
     t0 = time.time()
-    run_wave(0)  # warmup + compile
+    run_wave(build_stage1(0), 0)  # warmup + compile
     print(f"warmup (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
+    # stage-1 preprocessing for wave n+1 overlaps the device work of wave n
+    loader = PrefetchLoader(range(WAVES), build_stage1, depth=1)
     t0 = time.time()
-    for w in range(WAVES):
-        run_wave(w + 1)
+    for w, prebuilt in enumerate(loader):
+        run_wave(prebuilt, w + 1)
     dt = time.time() - t0
     qps = BATCH * WAVES / dt
     print(f"{WAVES} waves x {BATCH} episodes in {dt:.2f}s", file=sys.stderr)

@@ -36,6 +36,26 @@ class EpisodeResult:
         return self.answer2 if self.answer2 is not None else self.answer1
 
 
+def split_kept_tokens(tokenizer, completion_tokens: List[int], pre_answer_text: str):
+    """Longest prefix of the GENERATED tokens whose decode is a prefix of the
+    pre-<answer> text, plus the residual text to re-tokenize (token-merge boundary).
+
+    Cache-reuse needs the kept prefix to be exactly the cached token ids; the residual
+    (usually empty or a fragment of one merged token) is re-encoded into the chunk so
+    the stitched TEXT equals the reference's re-tokenized stage-2 prompt."""
+    lo, hi = 0, len(completion_tokens)
+    # binary search over monotone "decode(tokens[:k]) is a prefix of pre_answer_text"
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if pre_answer_text.startswith(tokenizer.decode(completion_tokens[:mid], skip_special_tokens=False)):
+            lo = mid
+        else:
+            hi = mid - 1
+    kept = completion_tokens[:lo]
+    residual = pre_answer_text[len(tokenizer.decode(kept, skip_special_tokens=False)):]
+    return kept, residual
+
+
 def run_episodes(
     generator: Generator,
     processor: Processor,
@@ -47,8 +67,14 @@ def run_episodes(
     crop_max_size: int = 512,
     gen: GenerationConfig = GenerationConfig(max_new_tokens=1024, temperature=0.01),
     seed: int = 0,
+    reuse_cache: bool = False,
 ) -> List[EpisodeResult]:
-    """Run one batched two-stage episode per (question, full-res image) pair."""
+    """Run one batched two-stage episode per (question, full-res image) pair.
+
+    reuse_cache=True continues stage 2 from the stage-1 KV cache (prefilling only the
+    second image's tokens instead of the full stitched prompt) — faster, and the
+    stitched text is identical, but kept tokens are the GENERATED ids rather than the
+    reference's re-tokenization, so eval-parity runs use False (the default)."""
     cfg = generator.cfg
     tk = processor.tokenizer
 
@@ -61,7 +87,11 @@ def run_episodes(
         scales.append(max(img.width, img.height) / max(small.width, small.height))
     encoded = [processor.encode(t, [im]) for t, im in zip(stage1_texts, resized)]
     batch = prepare_batch(cfg, [ids for ids, _ in encoded], [imgs for _, imgs in encoded])
-    out_tokens = generator.generate(batch, gen, seed=seed)
+    if reuse_cache:
+        out_tokens, stage1_cache = generator.generate(batch, gen, seed=seed, return_cache=True)
+    else:
+        out_tokens = generator.generate(batch, gen, seed=seed)
+        stage1_cache = None
     stage1_out = [tk.decode(t).strip() for t in out_tokens]
 
     # ---- stage 2: crop + continue, batched over samples with a bbox -------
@@ -86,11 +116,59 @@ def run_episodes(
         )
 
     if s2_idx:
-        encoded2 = [processor.encode(t, ims) for t, ims in zip(s2_texts, s2_images)]
-        batch2 = prepare_batch(cfg, [ids for ids, _ in encoded2], [imgs for _, imgs in encoded2])
-        out2_tokens = generator.generate(batch2, gen, seed=seed + 1)
-        for j, i in enumerate(s2_idx):
-            out2 = tk.decode(out2_tokens[j]).strip()
-            r = results[i]
-            results[i] = dataclasses.replace(r, stage2=out2, answer2=extract_answer(out2))
+        if reuse_cache and stage1_cache is not None:
+            # continuation path: keep generated pre-<answer> tokens in the cache,
+            # prefill only (residual text +) the crop's vision tokens
+            import numpy as np
+
+            from ..runtime.generate import prepare_continuation
+
+            chunks, chunk_imgs, keep_lens, starts = [], [], [], []
+            for j, i in enumerate(s2_idx):
+                # split on the UNSTRIPPED decode so tokens<->text stays bijective
+                raw = tk.decode(out_tokens[i], skip_special_tokens=False)
+                pre_text = raw.split("<answer>")[0]
+                kept, residual = split_kept_tokens(tk, out_tokens[i], pre_text)
+                crop_prepped = processor.preprocess_images([s2_images[j][1]])
+                chunk_ids = tk.encode(residual) if residual else []
+                chunk_ids += processor.expand_image_pads(
+                    tk.encode(PT.VISION_TOKENS), [crop_prepped[0][1]]
+                )
+                chunks.append(chunk_ids)
+                chunk_imgs.append(crop_prepped)
+                keep_lens.append(len(encoded[i][0]) + len(kept))
+                starts.append(int(batch.next_pos[i]) + len(kept))
+            # NOTE: continuation reuses the stage-1 batch's cache — rows not in s2_idx
+            # simply never decode further (their slots are ignored).
+            full_chunks = [[] for _ in range(len(questions))]
+            full_imgs = [[] for _ in range(len(questions))]
+            full_keep = [0] * len(questions)
+            full_start = [0] * len(questions)
+            for j, i in enumerate(s2_idx):
+                full_chunks[i] = chunks[j]
+                full_imgs[i] = chunk_imgs[j]
+                full_keep[i] = keep_lens[j]
+                full_start[i] = starts[j]
+            for i in range(len(questions)):
+                if not full_chunks[i]:  # inert placeholder for non-s2 rows
+                    full_chunks[i] = [cfg.tokens.pad]
+                    full_keep[i] = len(encoded[i][0])
+                    full_start[i] = int(batch.next_pos[i])
+            bc = prepare_continuation(cfg, full_chunks, full_imgs, full_start)
+            out2_all = generator.continue_generate(
+                stage1_cache, bc, np.asarray(full_keep, np.int32), gen, seed=seed + 1
+            )
+            for i in s2_idx:
+                out2 = tk.decode(out2_all[i]).strip()
+                results[i] = dataclasses.replace(
+                    results[i], stage2=out2, answer2=extract_answer(out2)
+                )
+        else:
+            encoded2 = [processor.encode(t, ims) for t, ims in zip(s2_texts, s2_images)]
+            batch2 = prepare_batch(cfg, [ids for ids, _ in encoded2], [imgs for _, imgs in encoded2])
+            out2_tokens = generator.generate(batch2, gen, seed=seed + 1)
+            for j, i in enumerate(s2_idx):
+                out2 = tk.decode(out2_tokens[j]).strip()
+                r = results[i]
+                results[i] = dataclasses.replace(r, stage2=out2, answer2=extract_answer(out2))
     return results  # type: ignore[return-value]

@@ -164,6 +164,23 @@ def mrope_position_ids(
     return full.astype(np.int32), int(next_start)
 
 
+def mrope_chunk_position_ids(
+    chunk_ids: np.ndarray,
+    grid_thws: Sequence[Sequence[int]],
+    start_pos: int,
+    *,
+    image_pad_id: int,
+    merge_size: int = 2,
+) -> Tuple[np.ndarray, int]:
+    """M-RoPE positions for a CONTINUATION chunk starting at scalar position start_pos
+    (all three planes aligned there — true after any text-only tail). Returns
+    ((3, S) positions, next_pos). Used for stage-2 cache-reuse prefill."""
+    pos, nxt = mrope_position_ids(
+        np.asarray(chunk_ids), grid_thws, image_pad_id=image_pad_id, merge_size=merge_size
+    )
+    return pos + start_pos, nxt + start_pos
+
+
 def mrope_position_ids_batch(
     input_ids: np.ndarray,
     grid_thws_per_seq: Sequence[Sequence[Sequence[int]]],

@@ -112,6 +112,56 @@ def prepare_batch(
     return PreparedBatch(ids, lengths, pos, next_pos, pixel_values, meta_dev)
 
 
+def prepare_continuation(
+    cfg: VLMConfig,
+    chunk_token_lists: Sequence[Sequence[int]],
+    images_per_seq: Sequence[Sequence[Tuple[np.ndarray, Tuple[int, int, int]]]],
+    start_positions: Sequence[int],
+    *,
+    length_buckets: Sequence[int] = DEFAULT_LENGTH_BUCKETS,
+    patch_buckets: Sequence[int] = DEFAULT_PATCH_BUCKETS,
+) -> PreparedBatch:
+    """Pack CONTINUATION chunks (e.g. stage-2 vision tokens) for cache-reuse prefill.
+
+    start_positions[b] is the M-RoPE position where row b's chunk begins (the kept
+    prefix's next position). Unlike prepare_batch, position ids are per-row offset."""
+    from ..models.rope import mrope_chunk_position_ids
+
+    B = len(chunk_token_lists)
+    lengths = np.asarray([len(t) for t in chunk_token_lists], dtype=np.int32)
+    S = bucket(int(lengths.max()), length_buckets)
+    ids = np.full((B, S), cfg.tokens.pad, dtype=np.int32)
+    pos = np.ones((3, B, S), dtype=np.int32)
+    next_pos = np.zeros((B,), np.int32)
+    for b, toks in enumerate(chunk_token_lists):
+        ids[b, : len(toks)] = toks
+        grids = [g for _, g in images_per_seq[b]]
+        p, nxt = mrope_chunk_position_ids(
+            np.asarray(toks), grids, int(start_positions[b]),
+            image_pad_id=cfg.tokens.image_pad, merge_size=cfg.vision.spatial_merge_size,
+        )
+        pos[:, b, : len(toks)] = p
+        next_pos[b] = nxt
+
+    all_pv = [pv for imgs in images_per_seq for pv, _ in imgs]
+    all_grids = [g for imgs in images_per_seq for _, g in imgs]
+    pixel_values = None
+    meta_dev = None
+    if all_pv:
+        pv = np.concatenate(all_pv, axis=0)
+        P = bucket(pv.shape[0], patch_buckets)
+        meta = vision_metadata(all_grids, cfg.vision, pad_to=P)
+        if P > pv.shape[0]:
+            pv = np.concatenate([pv, np.zeros((P - pv.shape[0], pv.shape[1]), pv.dtype)])
+        pixel_values = pv
+        meta_dev = {
+            "perm": meta.perm, "inv_perm_merged": meta.inv_perm_merged,
+            "seg_window": meta.seg_window, "seg_full": meta.seg_full,
+            "pos_ids": meta.pos_ids,
+        }
+    return PreparedBatch(ids, lengths, pos, next_pos, pixel_values, meta_dev)
+
+
 class Generator:
     """Compile-cached generation engine over a fixed param tree layout."""
 
@@ -186,6 +236,80 @@ class Generator:
         state = (0, done0, tokens_buf, first_logits, cache, next_pos, key)
         _, _, tokens_buf, _, cache, _, _ = jax.lax.while_loop(cond, body, state)
         return tokens_buf, cache
+
+    def _chunk_prefill(self, params, ids, chunk_lens, keep_len, pos, pixel_values, meta, cache):
+        """Prefill a continuation chunk into an EXISTING cache truncated to keep_len."""
+        B, S = ids.shape
+        attn_positions = keep_len[:, None] + jnp.arange(S)[None]
+        attn_valid = jnp.arange(S)[None] < chunk_lens[:, None]
+        cache = cache._replace(length=keep_len)
+        logits, cache = vlm_forward(
+            params, self.cfg, ids, pos,
+            pixel_values=pixel_values, vision_meta=meta,
+            attn_positions=attn_positions, attn_valid=attn_valid,
+            cache=cache, update_cache_len=False, logit_index=chunk_lens - 1,
+        )
+        return logits, cache._replace(length=keep_len + chunk_lens)
+
+    def continue_generate(
+        self,
+        cache,
+        batch: PreparedBatch,
+        keep_len: np.ndarray,
+        gen: GenerationConfig = GenerationConfig(),
+        *,
+        seed: int = 0,
+        return_cache: bool = False,
+    ):
+        """Continue generation from a prior stage's cache: truncate each row's cache to
+        keep_len[b] (dropping e.g. the <answer> tail), prefill only the continuation
+        chunk (stage-2 vision tokens), then decode.
+
+        This is the two-stage prefix-reuse optimization: the reference re-runs the
+        full stitched prompt through prefill (grpo_trainer.py:611, infer.py:247); here
+        stage 2 prefills ~300 tokens instead of ~1200."""
+        cfg = self.cfg
+        B, S = batch.input_ids.shape
+        stop_tokens = (cfg.tokens.eos, cfg.tokens.endoftext)
+        n_patches = batch.pixel_values.shape[0] if batch.pixel_values is not None else 0
+        key = ("chunk", B, S, n_patches)
+        if key not in self._prefill_fns:
+            self._prefill_fns[key] = jax.jit(self._chunk_prefill, donate_argnums=(7,))
+        chunk_prefill = self._prefill_fns[key]
+        dc_key = (B, gen.max_new_tokens, gen.temperature, gen.top_p, stop_tokens)
+        if dc_key not in self._decode_fns:
+            self._decode_fns[dc_key] = jax.jit(
+                functools.partial(
+                    self._decode_loop,
+                    max_new=gen.max_new_tokens,
+                    temperature=gen.temperature,
+                    top_p=gen.top_p,
+                    stop_tokens=stop_tokens,
+                )
+            )
+        decode = self._decode_fns[dc_key]
+        meta = None
+        if batch.vision_meta is not None:
+            meta = {k: jnp.asarray(v) for k, v in batch.vision_meta.items()}
+        pv = jnp.asarray(batch.pixel_values) if batch.pixel_values is not None else None
+        first_logits, cache = chunk_prefill(
+            self.params, jnp.asarray(batch.input_ids), jnp.asarray(batch.lengths),
+            jnp.asarray(keep_len, jnp.int32) if not isinstance(keep_len, jnp.ndarray) else keep_len,
+            jnp.asarray(batch.position_ids), pv, meta, cache,
+        )
+        tokens, cache = decode(
+            self.params, first_logits, cache, jnp.asarray(batch.next_pos), jax.random.key(seed)
+        )
+        tokens = np.asarray(tokens)
+        out = []
+        for b in range(B):
+            row = tokens[b]
+            stops = np.isin(row, stop_tokens)
+            end = int(np.argmax(stops)) if stops.any() else len(row)
+            out.append(row[:end].tolist())
+        if return_cache:
+            return out, cache
+        return out
 
     # -- public API ---------------------------------------------------------
 
