@@ -33,6 +33,11 @@ class VisionConfig:
     out_hidden_size: int = 2048
     hidden_act: str = "silu"
     rms_norm_eps: float = 1e-6
+    # Family variants: Qwen2.5-VL uses RMSNorm + SwiGLU + windowed attention;
+    # Qwen2-VL (reference modeling_qwen2_vl.py:387-470) uses LayerNorm + GELU fc1/fc2
+    # MLP + full attention in every block (fullatt_block_indexes covers all).
+    norm_type: str = "rms"  # "rms" | "layer"
+    mlp_type: str = "swiglu"  # "swiglu" | "gelu_fc"
 
     @property
     def head_dim(self) -> int:
@@ -146,19 +151,42 @@ class VLMConfig:
         with open(os.path.join(path, "config.json")) as f:
             cfg = json.load(f)
         v = cfg.get("vision_config", {})
-        vision = VisionConfig(
-            depth=v.get("depth", 32),
-            hidden_size=v.get("hidden_size", 1280),
-            intermediate_size=v.get("intermediate_size", 3420),
-            num_heads=v.get("num_heads", 16),
-            in_channels=v.get("in_channels", v.get("in_chans", 3)),
-            patch_size=v.get("patch_size", 14),
-            temporal_patch_size=v.get("temporal_patch_size", 2),
-            spatial_merge_size=v.get("spatial_merge_size", 2),
-            window_size=v.get("window_size", 112),
-            fullatt_block_indexes=tuple(v.get("fullatt_block_indexes", (7, 15, 23, 31))),
-            out_hidden_size=v.get("out_hidden_size", 2048),
-        )
+        is_qwen2_vl = cfg.get("model_type") == "qwen2_vl" or "embed_dim" in v
+        if is_qwen2_vl:
+            # Qwen2-VL ViT (reference modeling_qwen2_vl.py:665-784): embed_dim naming,
+            # mlp_ratio, LayerNorm + quick_gelu fc MLP, full attention in every block.
+            embed_dim = v.get("embed_dim", 1280)
+            depth = v.get("depth", 32)
+            vision = VisionConfig(
+                depth=depth,
+                hidden_size=embed_dim,
+                intermediate_size=int(embed_dim * v.get("mlp_ratio", 4)),
+                num_heads=v.get("num_heads", 16),
+                in_channels=v.get("in_channels", v.get("in_chans", 3)),
+                patch_size=v.get("patch_size", 14),
+                temporal_patch_size=v.get("temporal_patch_size", 2),
+                spatial_merge_size=v.get("spatial_merge_size", 2),
+                window_size=10**9,  # unused: every block is full attention
+                fullatt_block_indexes=tuple(range(depth)),
+                out_hidden_size=v.get("hidden_size", cfg.get("hidden_size", 2048)),
+                hidden_act=v.get("hidden_act", "quick_gelu"),
+                norm_type="layer",
+                mlp_type="gelu_fc",
+            )
+        else:
+            vision = VisionConfig(
+                depth=v.get("depth", 32),
+                hidden_size=v.get("hidden_size", 1280),
+                intermediate_size=v.get("intermediate_size", 3420),
+                num_heads=v.get("num_heads", 16),
+                in_channels=v.get("in_channels", v.get("in_chans", 3)),
+                patch_size=v.get("patch_size", 14),
+                temporal_patch_size=v.get("temporal_patch_size", 2),
+                spatial_merge_size=v.get("spatial_merge_size", 2),
+                window_size=v.get("window_size", 112),
+                fullatt_block_indexes=tuple(v.get("fullatt_block_indexes", (7, 15, 23, 31))),
+                out_hidden_size=v.get("out_hidden_size", 2048),
+            )
         text = TextConfig(
             vocab_size=cfg.get("vocab_size", 151936),
             hidden_size=cfg.get("hidden_size", 2048),

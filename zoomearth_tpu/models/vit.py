@@ -89,7 +89,15 @@ def vision_metadata(
     grid_thw = [tuple(int(v) for v in g) for g in grid_thw]
     m2 = cfg.merge_unit
     n_patches = sum(t * h * w for t, h, w in grid_thw)
-    midx, wids = window_index(grid_thw, cfg)  # merged-token level
+    if len(cfg.fullatt_block_indexes) >= cfg.depth:
+        # Window-free family (Qwen2-VL): no reorder; every "window" is the image.
+        n_merged = n_patches // m2
+        midx = np.arange(n_merged)
+        wids = np.concatenate(
+            [np.full(t * h * w // m2, i) for i, (t, h, w) in enumerate(grid_thw)]
+        )
+    else:
+        midx, wids = window_index(grid_thw, cfg)  # merged-token level
     # Expand merged-token permutation to patch level: merged token j covers patches
     # [j*m2, (j+1)*m2) in emission order.
     perm = (midx[:, None] * m2 + np.arange(m2)[None, :]).reshape(-1)
@@ -127,10 +135,40 @@ def rms_norm(x, scale, eps):
     return (x * jax.lax.rsqrt(var + eps)).astype(dtype) * scale
 
 
+def layer_norm(x, scale, bias, eps):
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return ((x - mean) * jax.lax.rsqrt(var + eps)).astype(dtype) * scale + bias
+
+
+def _vit_norm(p, cfg: VisionConfig, x):
+    if cfg.norm_type == "layer":
+        return layer_norm(x, p["scale"], p["bias"], 1e-6)
+    return rms_norm(x, p["scale"], cfg.rms_norm_eps)
+
+
+def _vit_mlp(p, cfg: VisionConfig, h):
+    if cfg.mlp_type == "gelu_fc":
+        # Qwen2-VL VisionMlp: fc1 -> act -> fc2 (reference modeling_qwen2_vl.py:298-313)
+        z = h @ p["w1"] + p["b1"]
+        if cfg.hidden_act == "quick_gelu":
+            z = z * jax.nn.sigmoid(1.702 * z)
+        else:
+            z = jax.nn.gelu(z, approximate=False)
+        return z @ p["w2"] + p["b2"]
+    g = jax.nn.silu(h @ p["wg"] + p["bg"])
+    u = h @ p["wu"] + p["bu"]
+    return (g * u) @ p["wd"] + p["bd"]
+
+
 def _vit_block(params, cfg: VisionConfig, x, seg, cos, sin):
-    """One ViT block: RMSNorm -> segment attention (2D RoPE) -> RMSNorm -> SwiGLU."""
+    """One ViT block: norm -> segment attention (2D RoPE) -> norm -> MLP.
+
+    Norm/MLP flavor per cfg (Qwen2.5-VL: RMSNorm+SwiGLU; Qwen2-VL: LayerNorm+GELU fc)."""
     S = x.shape[0]
-    h = rms_norm(x, params["norm1"]["scale"], cfg.rms_norm_eps)
+    h = _vit_norm(params["norm1"], cfg, x)
     qkv = h @ params["attn"]["wqkv"] + params["attn"]["bqkv"]
     qkv = qkv.reshape(S, 3, cfg.num_heads, cfg.head_dim)
     q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
@@ -139,10 +177,8 @@ def _vit_block(params, cfg: VisionConfig, x, seg, cos, sin):
     attn = segment_attention_auto(q, k, v, seg)
     attn = attn.reshape(S, cfg.hidden_size) @ params["attn"]["wo"] + params["attn"]["bo"]
     x = x + attn
-    h = rms_norm(x, params["norm2"]["scale"], cfg.rms_norm_eps)
-    g = jax.nn.silu(h @ params["mlp"]["wg"] + params["mlp"]["bg"])
-    u = h @ params["mlp"]["wu"] + params["mlp"]["bu"]
-    x = x + (g * u) @ params["mlp"]["wd"] + params["mlp"]["bd"]
+    h = _vit_norm(params["norm2"], cfg, x)
+    x = x + _vit_mlp(params["mlp"], cfg, h)
     return x
 
 
@@ -168,9 +204,9 @@ def vit_forward(
     for i in range(cfg.depth):
         seg = seg_full if i in cfg.fullatt_block_indexes else seg_window
         x = _vit_block(params["blocks"][i], cfg, x, seg, cos, sin)
-    # Patch merger: RMSNorm then merge each group of merge_unit consecutive patches
+    # Patch merger: norm then merge each group of merge_unit consecutive patches
     # (consecutive in window order — matches HF), then 2-layer MLP.
-    x = rms_norm(x, params["merger"]["ln_q"]["scale"], cfg.rms_norm_eps)
+    x = _vit_norm(params["merger"]["ln_q"], cfg, x)
     x = x.reshape(-1, cfg.merge_unit * cfg.hidden_size)
     x = jax.nn.gelu(x @ params["merger"]["w0"] + params["merger"]["b0"], approximate=False)
     x = x @ params["merger"]["w1"] + params["merger"]["b1"]

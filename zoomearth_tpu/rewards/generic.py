@@ -83,11 +83,32 @@ def default_accuracy_reward(content: str, sol: str, **kwargs) -> float:
     return ratio if ratio > 0.5 else 0.0
 
 
+def _math_reward(content: str, sol: str, **kwargs) -> float:
+    from ..utils.mathcheck import compute_score
+
+    return compute_score(_answer_of(content), _answer_of(sol))
+
+
+def _detection_methods():
+    from . import detection as D
+
+    return {
+        "map": lambda c, s, **kw: D.map_reward(c, s),
+        "od_ap": D.od_reward,
+        "od_ap50": lambda c, s, **kw: D.od_reward(c, s, score_type=1),
+        "odLength": D.od_length_reward,
+        "weighted_sum": D.weighted_sum_reward,
+        "all_match": lambda c, s, **kw: 1.0 if _answer_of(c).strip() == _answer_of(s).strip() else 0.0,
+    }
+
+
 _ACCURACY_METHODS = {
     "mcq": mcq_reward,
     "yes_no": yes_no_reward,
+    "math": _math_reward,
     "default": default_accuracy_reward,
 }
+_ACCURACY_METHODS.update(_detection_methods())
 
 
 def accuracy_reward(completions: Sequence[str], solution: Sequence[str], **kwargs) -> List[float]:
