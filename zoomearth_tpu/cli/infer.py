@@ -28,7 +28,9 @@ def main(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=1024)
     p.add_argument("--temperature", type=float, default=0.01)  # infer.py:112-115
     p.add_argument("--max_pixels", type=int, default=128 * 128 * 28 * 28)  # infer.py:155
-    args = p.parse_args(argv)
+    from .config import parse_with_yaml
+
+    args = parse_with_yaml(p, argv)
 
     params, cfg, processor = load_model_and_processor(args.model_name, max_pixels=args.max_pixels)
     generator = Generator(params, cfg, max_cache_len=4096)

@@ -21,7 +21,9 @@ def main(argv=None):
     p.add_argument("--max_slots", type=int, default=8)
     p.add_argument("--decode_chunk", type=int, default=8)
     p.add_argument("--served_model_name", default="zoomearth-tpu")
-    args = p.parse_args(argv)
+    from .config import parse_with_yaml
+
+    args = parse_with_yaml(p, argv)
 
     params, cfg, processor = load_model_and_processor(args.model)
     engine = ServingEngine(

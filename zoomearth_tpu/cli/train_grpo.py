@@ -38,7 +38,9 @@ def main(argv=None):
     p.add_argument("--max_samples", type=int, default=2400)  # reference select(range(2400))
     p.add_argument("--resume_from_checkpoint", action="store_true")
     p.add_argument("--seed", type=int, default=42)
-    args = p.parse_args(argv)
+    from .config import parse_with_yaml
+
+    args = parse_with_yaml(p, argv)
 
     params, cfg, processor = load_model_and_processor(args.model_name_or_path)
     samples = load_lrs_gro_jsonl(args.data_file_paths.split(":"), args.image_folders.split(":"))

@@ -35,7 +35,9 @@ def main(argv=None):
     p.add_argument("--resume_from_checkpoint", action="store_true")
     p.add_argument("--fsdp", type=int, default=1, help="fsdp mesh axis size")
     p.add_argument("--tensor", type=int, default=1, help="tensor mesh axis size")
-    args = p.parse_args(argv)
+    from .config import parse_with_yaml
+
+    args = parse_with_yaml(p, argv)
 
     params, cfg, processor = load_model_and_processor(args.model_name, max_pixels=args.max_pixels)
     mesh = make_mesh(data=-1, fsdp=args.fsdp, tensor=args.tensor) if len(jax.devices()) > 1 else None
