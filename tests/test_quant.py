@@ -1,0 +1,65 @@
+"""Weight-only int8 quantization: mechanics + output quality on the tiny model."""
+
+import jax
+import numpy as np
+import pytest
+
+from zoomearth_tpu.config import VLMConfig
+from zoomearth_tpu.models.params import init_vlm_params
+from zoomearth_tpu.ops.quant import is_quantized, qdot, quantize_decoder_int8, quantize_int8
+
+CFG = VLMConfig.tiny()
+
+
+def test_quantize_roundtrip_error_bounded():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 128)).astype(np.float32)
+    qw = quantize_int8(jax.numpy.asarray(w))
+    assert qw["q"].dtype == np.int8
+    deq = np.asarray(qw["q"], np.float32) * np.asarray(qw["s"], np.float32)
+    # per-channel symmetric: max error <= scale/2 per element
+    max_scale = np.asarray(qw["s"]).max()
+    assert np.abs(deq - w).max() <= max_scale * 0.51
+
+
+def test_qdot_matches_dequantized_matmul():
+    rng = np.random.default_rng(1)
+    x = jax.numpy.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    w = jax.numpy.asarray(rng.standard_normal((64, 32)).astype(np.float32))
+    qw = quantize_int8(w)
+    ref = np.asarray(x) @ (np.asarray(qw["q"], np.float32) * np.asarray(qw["s"], np.float32))
+    np.testing.assert_allclose(np.asarray(qdot(x, qw)), ref, rtol=1e-5, atol=1e-5)
+    # plain path unchanged
+    np.testing.assert_allclose(np.asarray(qdot(x, w)), np.asarray(x @ w), rtol=1e-6)
+
+
+def test_quantize_decoder_structure():
+    params = init_vlm_params(jax.random.key(0), CFG)
+    qp = quantize_decoder_int8(params)
+    l0 = qp["text"]["layers"][0]
+    assert is_quantized(l0["attn"]["wq"]) and is_quantized(l0["mlp"]["wd"])
+    # untouched parts share buffers
+    assert qp["text"]["embed"]["weight"] is params["text"]["embed"]["weight"]
+    assert qp["vision"] is params["vision"]
+    assert not is_quantized(l0["attn"]["bq"])
+
+
+def test_int8_generation_quality_tiny():
+    """Greedy decode with int8 decoder weights should mostly match bf16/f32 —
+    per-channel int8 logit perturbations are small relative to logit gaps."""
+    from zoomearth_tpu.runtime.generate import GenerationConfig, Generator, prepare_batch
+
+    params = init_vlm_params(jax.random.key(3), CFG)
+    qparams = quantize_decoder_int8(params)
+    rng = np.random.default_rng(2)
+    tl = [[CFG.tokens.im_start] + list(rng.integers(1, 400, size=10)) for _ in range(2)]
+    b = prepare_batch(CFG, tl, [[], []], length_buckets=(32,), patch_buckets=(0,))
+    g = GenerationConfig(max_new_tokens=12, temperature=0.0)
+    out_f = Generator(params, CFG, max_cache_len=64, cache_dtype="float32").generate(b, g)
+    out_q = Generator(qparams, CFG, max_cache_len=64, cache_dtype="float32").generate(b, g)
+    # token-level agreement (random tiny model = near-uniform logits, the hardest
+    # case for quantization; require majority agreement on the first tokens)
+    agree = sum(
+        a == b for row_f, row_q in zip(out_f, out_q) for a, b in zip(row_f[:4], row_q[:4])
+    )
+    assert agree >= 4  # of 8 compared tokens

@@ -21,11 +21,20 @@ def main(argv=None):
     p.add_argument("--max_slots", type=int, default=8)
     p.add_argument("--decode_chunk", type=int, default=8)
     p.add_argument("--served_model_name", default="zoomearth-tpu")
+    p.add_argument("--quantize", choices=["none", "int8"], default="none",
+                   help="weight-only int8 for the decoder (~25%% faster decode; "
+                   "validate accuracy for your checkpoint first)")
     from .config import parse_with_yaml
 
     args = parse_with_yaml(p, argv)
 
     params, cfg, processor = load_model_and_processor(args.model)
+    if args.quantize == "int8":
+        import jax
+
+        from ..ops.quant import quantize_decoder_int8
+
+        params = jax.jit(quantize_decoder_int8)(params)
     engine = ServingEngine(
         params, cfg, max_slots=args.max_slots, max_seq_len=args.max_model_len,
         decode_chunk=args.decode_chunk,

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..config import TextConfig
 from ..ops.attention import causal_attention, decode_attention
+from ..ops.quant import qdot
 from .rope import apply_rotary, mrope_cos_sin
 from .vit import rms_norm
 
@@ -57,9 +58,9 @@ def _attn_layer(
 ):
     B, S, _ = x.shape
     H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    q = (x @ p["wq"] + p["bq"]).reshape(B, S, H, D)
-    k = (x @ p["wk"] + p["bk"]).reshape(B, S, Hkv, D)
-    v = (x @ p["wv"] + p["bv"]).reshape(B, S, Hkv, D)
+    q = (qdot(x, p["wq"]) + p["bq"]).reshape(B, S, H, D)
+    k = (qdot(x, p["wk"]) + p["bk"]).reshape(B, S, Hkv, D)
+    v = (qdot(x, p["wv"]) + p["bv"]).reshape(B, S, Hkv, D)
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
 
@@ -100,12 +101,12 @@ def _attn_layer(
             )
             # positions here are cache-slot positions; caller passes slot-consistent ones
         new_kv = (k_cache, v_cache)
-    out = out.reshape(B, S, H * D) @ p["wo"]
+    out = qdot(out.reshape(B, S, H * D), p["wo"])
     return out, new_kv
 
 
 def _mlp(p, x):
-    return (jax.nn.silu(x @ p["wg"]) * (x @ p["wu"])) @ p["wd"]
+    return qdot(jax.nn.silu(qdot(x, p["wg"])) * qdot(x, p["wu"]), p["wd"])
 
 
 def decoder_forward(
