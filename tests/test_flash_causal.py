@@ -1,0 +1,75 @@
+"""Causal GQA flash kernel (interpret mode) vs the XLA reference path."""
+
+import numpy as np
+import pytest
+
+from zoomearth_tpu.ops.attention import causal_attention
+from zoomearth_tpu.ops.flash_causal import flash_causal_attention
+
+
+def _qkv(B, S, T, H, Hkv, D, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, T, Hkv, D)).astype(np.float32)
+    v = rng.standard_normal((B, T, Hkv, D)).astype(np.float32)
+    return q, k, v
+
+
+def _check(q, k, v, positions, kv_len, block_q=32, block_kv=32, atol=2e-5):
+    import jax.numpy as jnp
+
+    B, S = positions.shape
+    T = k.shape[1]
+    slot = np.broadcast_to(np.arange(T)[None], (B, T))
+    valid = slot < kv_len[:, None]
+    ref = np.asarray(
+        causal_attention(q, k, v, positions=positions, kv_positions=jnp.asarray(slot), valid=jnp.asarray(valid))
+    )
+    out = np.asarray(
+        flash_causal_attention(q, k, v, positions, kv_len,
+                               block_q=block_q, block_kv=block_kv, interpret=True)
+    )
+    # only rows whose position is within kv_len are meaningful
+    for b in range(B):
+        n = int(min(kv_len[b], S))
+        np.testing.assert_allclose(out[b, :n], ref[b, :n], atol=atol, rtol=1e-4)
+
+
+def test_self_attention_square():
+    B, S, H, Hkv, D = 2, 64, 4, 2, 16
+    q, k, v = _qkv(B, S, S, H, Hkv, D)
+    positions = np.broadcast_to(np.arange(S)[None], (B, S)).copy()
+    kv_len = np.array([S, S], np.int32)
+    _check(q, k, v, positions, kv_len)
+
+
+def test_mha_no_gqa():
+    B, S, H, D = 1, 64, 4, 16
+    q, k, v = _qkv(B, S, S, H, H, D, seed=1)
+    positions = np.broadcast_to(np.arange(S)[None], (B, S)).copy()
+    _check(q, k, v, positions, np.array([S], np.int32))
+
+
+def test_chunk_prefill_into_cache():
+    """Queries at positions offset into a longer kv cache (stage-2 continuation)."""
+    B, S, T, H, Hkv, D = 2, 32, 128, 4, 2, 16
+    q, k, v = _qkv(B, S, T, H, Hkv, D, seed=2)
+    starts = np.array([40, 70], np.int32)
+    positions = starts[:, None] + np.arange(S)[None]
+    kv_len = starts + S
+    _check(q, k, v, positions, kv_len)
+
+
+def test_ragged_kv_len():
+    B, S, T, H, Hkv, D = 2, 64, 64, 4, 2, 16
+    q, k, v = _qkv(B, S, T, H, Hkv, D, seed=3)
+    positions = np.broadcast_to(np.arange(S)[None], (B, S)).copy()
+    kv_len = np.array([64, 40], np.int32)
+    _check(q, k, v, positions, kv_len)
+
+
+def test_non_block_multiple_s():
+    B, S, H, Hkv, D = 1, 80, 4, 2, 16
+    q, k, v = _qkv(B, S, S, H, Hkv, D, seed=4)
+    positions = np.broadcast_to(np.arange(S)[None], (B, S)).copy()
+    _check(q, k, v, positions, np.array([S], np.int32), block_q=32, block_kv=32)

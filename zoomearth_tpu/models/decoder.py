@@ -21,6 +21,13 @@ import jax.numpy as jnp
 from ..config import TextConfig
 from ..ops.attention import causal_attention, decode_attention
 from ..ops.quant import qdot
+
+
+def _use_flash() -> bool:
+    import os
+
+    return jax.default_backend() == "tpu" and not os.environ.get("ZOOMEARTH_NO_FLASH")
+
 from .rope import apply_rotary, mrope_cos_sin
 from .vit import rms_norm
 
@@ -55,6 +62,7 @@ def _attn_layer(
     attn_valid,  # (B, S) bool: real (non-pad) input tokens
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # (B, T, Hkv, D) existing cache slice
     cache_len: Optional[jnp.ndarray],  # (B,)
+    use_flash: bool = False,  # inference-only (no VJP); opt-in: XLA wins at S<~2k
 ):
     B, S, _ = x.shape
     H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -65,7 +73,13 @@ def _attn_layer(
     k = apply_rotary(k, cos, sin)
 
     if cache_kv is None:
-        out = causal_attention(q, k, v, positions=positions, kv_positions=positions, valid=attn_valid)
+        if use_flash:
+            from ..ops.flash_causal import flash_causal_attention
+
+            # right-padded inputs: causality alone excludes the tail pads
+            out = flash_causal_attention(q, k, v, positions, jnp.full((B,), S, jnp.int32))
+        else:
+            out = causal_attention(q, k, v, positions=positions, kv_positions=positions, valid=attn_valid)
         new_kv = (k, v)
     else:
         k_cache, v_cache = cache_kv
@@ -88,17 +102,18 @@ def _attn_layer(
                 v_cache, v, cache_len
             )
             T = k_cache.shape[1]
-            slot = jnp.arange(T)[None, :]
-            valid_t = slot < (cache_len[:, None] + S)
-            # kv position: by construction cache slot order == position order per sequence
-            out = causal_attention(
-                q,
-                k_cache,
-                v_cache,
-                positions=positions,
-                kv_positions=slot,
-                valid=valid_t,
-            )
+            if use_flash:
+                from ..ops.flash_causal import flash_causal_attention
+
+                out = flash_causal_attention(q, k_cache, v_cache, positions, cache_len + S)
+            else:
+                slot = jnp.arange(T)[None, :]
+                valid_t = slot < (cache_len[:, None] + S)
+                # kv position: cache slot order == position order per sequence
+                out = causal_attention(
+                    q, k_cache, v_cache,
+                    positions=positions, kv_positions=slot, valid=valid_t,
+                )
             # positions here are cache-slot positions; caller passes slot-consistent ones
         new_kv = (k_cache, v_cache)
     out = qdot(out.reshape(B, S, H * D), p["wo"])
@@ -118,6 +133,7 @@ def decoder_forward(
     attn_valid: Optional[jnp.ndarray] = None,  # (B, S) bool
     cache: Optional[KVCache] = None,
     update_cache_len: bool = True,
+    use_flash: bool = False,
 ):
     """Run the decoder stack. Returns (hidden_states, new_cache).
 
@@ -139,7 +155,8 @@ def decoder_forward(
         cache_kv = (cache.k[i], cache.v[i]) if cache is not None else None
         cache_len = cache.length if cache is not None else None
         attn_out, kv = _attn_layer(
-            layer["attn"], cfg, h, cos, sin, attn_positions, attn_valid, cache_kv, cache_len
+            layer["attn"], cfg, h, cos, sin, attn_positions, attn_valid, cache_kv, cache_len,
+            use_flash=use_flash and _use_flash() and S > 1,
         )
         x = x + attn_out
         h = rms_norm(x, layer["post_ln"]["scale"], cfg.rms_norm_eps)

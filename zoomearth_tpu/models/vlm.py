@@ -56,6 +56,7 @@ def vlm_forward(
     cache: Optional[KVCache] = None,
     update_cache_len: bool = True,
     logit_index: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
 ):
     """Full forward -> (logits float32, new_cache).
 
@@ -86,6 +87,7 @@ def vlm_forward(
         attn_valid=attn_valid,
         cache=cache,
         update_cache_len=update_cache_len,
+        use_flash=use_flash,
     )
     if logit_index is not None:
         hidden = jnp.take_along_axis(hidden, logit_index[:, None, None], axis=1)[:, 0]

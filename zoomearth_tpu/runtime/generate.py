@@ -248,6 +248,9 @@ class Generator:
             pixel_values=pixel_values, vision_meta=meta,
             attn_positions=attn_positions, attn_valid=attn_valid,
             cache=cache, update_cache_len=False, logit_index=chunk_lens - 1,
+            # XLA's fused attention beats the Pallas causal kernel at our prefill
+            # sizes (measured on-TPU); flash_causal stays opt-in for long-context
+            use_flash=False,
         )
         return logits, cache._replace(length=keep_len + chunk_lens)
 

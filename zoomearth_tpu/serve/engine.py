@@ -119,6 +119,9 @@ class ServingEngine:
             pixel_values=pixel_values, vision_meta=meta,
             attn_positions=attn_positions, attn_valid=attn_valid,
             cache=cache1, update_cache_len=False, logit_index=length - 1,
+            # XLA's fused attention beats the Pallas causal kernel at our prefill
+            # sizes (measured on-TPU); flash_causal stays opt-in for long-context
+            use_flash=False,
         )
         return logits, cache1._replace(length=length)
 
