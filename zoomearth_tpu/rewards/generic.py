@@ -102,10 +102,17 @@ def _detection_methods():
     }
 
 
+def _llm_reward(content, sol, **kwargs):
+    from .llm_judge import llm_reward
+
+    return llm_reward(content, sol, **kwargs)
+
+
 _ACCURACY_METHODS = {
     "mcq": mcq_reward,
     "yes_no": yes_no_reward,
     "math": _math_reward,
+    "llm": _llm_reward,
     "default": default_accuracy_reward,
 }
 _ACCURACY_METHODS.update(_detection_methods())
