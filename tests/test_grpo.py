@@ -174,3 +174,28 @@ def test_num_iterations_buffering(tiny_trainer):
     m3 = t.step(_samples(), seed=100)  # new rollout
     assert t._buffered is not buffered
     assert np.isfinite(m2["loss"]) and np.isfinite(m3["loss"])
+
+
+def test_rollout_reuse_cache_path(tiny_trainer):
+    """reuse_cache rollouts: stage-2 continues from the stage-1 cache and training
+    sequences stitch GENERATED tokens (prompt + kept + chunk + completion2)."""
+    import dataclasses as dc
+
+    t = tiny_trainer
+    t.grpo = dc.replace(t.grpo, reuse_cache=True)
+    rb = t.rollout(_samples(), seed=5)
+    G = t.grpo.num_generations
+    assert all(c != "" for c in rb.completions2[:G])  # bbox sample took stage 2
+    assert all(c == "" for c in rb.completions2[G:])
+    assert rb.completion_mask.sum() > 0
+    m = t.step(_samples(), seed=5)
+    assert np.isfinite(m["loss"])
+
+
+def test_rollout_reference_path_still_works(tiny_trainer):
+    import dataclasses as dc
+
+    t = tiny_trainer
+    t.grpo = dc.replace(t.grpo, reuse_cache=False)
+    rb = t.rollout(_samples(), seed=6)
+    assert all(c != "" for c in rb.completions2[: t.grpo.num_generations])

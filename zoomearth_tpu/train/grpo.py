@@ -68,6 +68,13 @@ class GRPOConfig:
     stage1_image_size: int = 512  # customized resize (infer/RL variant)
     mask_image_tokens: bool = False  # True diverges from reference (see module doc)
     reward_weights: Optional[Sequence[float]] = None
+    # Stage-2 rollouts continue from the stage-1 KV cache (prefilling only the crop's
+    # vision tokens) AND the training sequence keeps the GENERATED stage-1 tokens
+    # verbatim. The reference instead re-tokenizes the stitched text (decode->strip->
+    # re-encode, grpo_trainer.py:607-611), which can shift token boundaries so the
+    # optimized logps don't exactly match what the policy produced. False = reference
+    # behavior (re-tokenized, full re-prefill).
+    reuse_cache: bool = True
 
 
 @dataclasses.dataclass
@@ -283,14 +290,23 @@ class GRPOTrainer:
             temperature=self.grpo.rollout_temperature,
         )
         self.generator.params = self.params  # live weight handoff
-        out1_tokens = self.generator.generate(batch1, gen1, seed=seed)
+        if self.grpo.reuse_cache:
+            out1_tokens, stage1_cache = self.generator.generate(
+                batch1, gen1, seed=seed, return_cache=True
+            )
+        else:
+            out1_tokens = self.generator.generate(batch1, gen1, seed=seed)
+            stage1_cache = None
         completions1 = [tk.decode(t).strip() for t in out1_tokens]
 
         # ---- stage 2 (batched) for samples whose DATASET bbox is non-empty ----
         completions2 = [""] * len(rep)
         scales = [1.0] * len(rep)
         s2_idx: List[int] = []
-        s2_token_lists, s2_images = [], []
+        s2_token_lists, s2_images = [], []  # re-tokenized path artifacts
+        s2_prefix_tokens: List[List[int]] = []  # reuse_cache path: kept + chunk ids
+        s2_chunks: List[List[int]] = []
+        s2_chunk_imgs: List[List] = []
         for i, (s, c1) in enumerate(zip(rep, completions1)):
             if not s.bbox:
                 continue
@@ -302,37 +318,78 @@ class GRPOTrainer:
             scales[i] = scale
             box = [p * scale for p in box]
             crop = resize_image(cut_image(full, box), self.grpo.stage1_image_size, min_side=30)
-            s2_text = prompts_text[i] + c1.split("<answer>")[0] + PT.VISION_TOKENS
-            ids2, prepped2 = self.processor.encode(
-                s2_text, [stage1_images[i], crop]
-            )
             s2_idx.append(i)
-            s2_token_lists.append(ids2)
-            s2_images.append(prepped2)
-        if s2_idx:
+            if self.grpo.reuse_cache:
+                from ..agent.episode import split_kept_tokens
+
+                raw = tk.decode(out1_tokens[i], skip_special_tokens=False)
+                kept, residual = split_kept_tokens(tk, out1_tokens[i], raw.split("<answer>")[0])
+                crop_prepped = self.processor.preprocess_images([crop])
+                chunk = (tk.encode(residual) if residual else []) + self.processor.expand_image_pads(
+                    tk.encode(PT.VISION_TOKENS), [crop_prepped[0][1]]
+                )
+                s2_prefix_tokens.append(kept)
+                s2_chunks.append(chunk)
+                s2_chunk_imgs.append(crop_prepped)
+            else:
+                s2_text = prompts_text[i] + c1.split("<answer>")[0] + PT.VISION_TOKENS
+                ids2, prepped2 = self.processor.encode(s2_text, [stage1_images[i], crop])
+                s2_token_lists.append(ids2)
+                s2_images.append(prepped2)
+        gen2 = GenerationConfig(
+            max_new_tokens=self.grpo.stage2_max_completion_length,
+            temperature=self.grpo.rollout_temperature,
+        )
+        out2_tokens_by_row: Dict[int, List[int]] = {}
+        if s2_idx and self.grpo.reuse_cache:
+            from ..runtime.generate import prepare_continuation
+
+            # inert rows keep their slot idle; outputs ignored
+            full_chunks = [[cfg.tokens.pad] for _ in rep]
+            full_imgs: List[List] = [[] for _ in rep]
+            keep_len = [int(batch1.lengths[i]) for i in range(len(rep))]
+            starts = [int(batch1.next_pos[i]) for i in range(len(rep))]
+            for j, i in enumerate(s2_idx):
+                full_chunks[i] = s2_chunks[j]
+                full_imgs[i] = s2_chunk_imgs[j]
+                keep_len[i] = int(batch1.lengths[i]) + len(s2_prefix_tokens[j])
+                starts[i] = int(batch1.next_pos[i]) + len(s2_prefix_tokens[j])
+            bc = prepare_continuation(
+                cfg, full_chunks, full_imgs, starts,
+                length_buckets=self.length_buckets, patch_buckets=self.patch_buckets,
+            )
+            out2_all = self.generator.continue_generate(
+                stage1_cache, bc, np.asarray(keep_len, np.int32), gen2, seed=seed + 1
+            )
+            for j, i in enumerate(s2_idx):
+                out2_tokens_by_row[i] = out2_all[i]
+                completions2[i] = tk.decode(out2_all[i]).strip()
+        elif s2_idx:
             batch2 = prepare_batch(
                 cfg, s2_token_lists, s2_images,
                 length_buckets=self.length_buckets, patch_buckets=self.patch_buckets,
             )
-            gen2 = GenerationConfig(
-                max_new_tokens=self.grpo.stage2_max_completion_length,
-                temperature=self.grpo.rollout_temperature,
-            )
             out2_tokens = self.generator.generate(batch2, gen2, seed=seed + 1)
             for j, i in enumerate(s2_idx):
+                out2_tokens_by_row[i] = out2_tokens[j]
                 completions2[i] = tk.decode(out2_tokens[j]).strip()
 
         # ---- stitch training sequences ----
         train_ids_list: List[List[int]] = []
         train_imgs: List[List] = []
         for i in range(len(rep)):
+            prompt_ids = [int(t) for t in np.asarray(batch1.input_ids[i][: batch1.lengths[i]])]
             if completions2[i] != "":
                 j = s2_idx.index(i)
-                ids = list(s2_token_lists[j]) + out2_tokens[j] + [cfg.tokens.endoftext]
-                train_imgs.append(s2_images[j])
+                if self.grpo.reuse_cache:
+                    ids = prompt_ids + s2_prefix_tokens[j] + s2_chunks[j]
+                    ids += out2_tokens_by_row[i] + [cfg.tokens.endoftext]
+                    train_imgs.append(enc1[i][1] + s2_chunk_imgs[j])
+                else:
+                    ids = list(s2_token_lists[j]) + out2_tokens_by_row[i] + [cfg.tokens.endoftext]
+                    train_imgs.append(s2_images[j])
             else:
-                ids = [int(t) for t in np.asarray(batch1.input_ids[i][: batch1.lengths[i]])]
-                ids += out1_tokens[i] + [cfg.tokens.endoftext]
+                ids = prompt_ids + out1_tokens[i] + [cfg.tokens.endoftext]
                 train_imgs.append(enc1[i][1])
             train_ids_list.append(ids)
 
