@@ -39,7 +39,25 @@ class Request:
     max_tokens: int = 256
     temperature: float = 0.0
     top_p: float = 1.0
+    # hold_slot: keep the KV cache resident after completion so a continuation
+    # (stage-2 zoom) can resume from it — the episode-serving pattern.
+    hold_slot: bool = False
     enqueued_at: float = dataclasses.field(default_factory=time.time)
+
+
+@dataclasses.dataclass
+class Continuation:
+    """Continue a HELD request: truncate its cache to prompt + kept_tokens generated
+    tokens, prefill chunk_ids (e.g. residual text + crop vision tokens), decode on."""
+
+    parent_request_id: str
+    request_id: str
+    chunk_ids: List[int]
+    images: List[Tuple[np.ndarray, Tuple[int, int, int]]]
+    kept_tokens: int  # generated tokens to keep from the parent
+    max_tokens: int = 256
+    temperature: float = 0.0
+    hold_slot: bool = False
 
 
 @dataclasses.dataclass
@@ -56,6 +74,9 @@ class _Slot:
     request: Optional[Request] = None
     generated: List[int] = dataclasses.field(default_factory=list)
     remaining: int = 0
+    held: bool = False  # completed but cache retained for a continuation
+    prompt_len: int = 0
+    prompt_next_pos: int = 0  # M-RoPE position right after the prompt
 
 
 class ServingEngine:
@@ -91,7 +112,8 @@ class ServingEngine:
         self.next_pos = jnp.zeros((max_slots,), jnp.int32)  # M-RoPE position
         self.active = np.zeros((max_slots,), bool)
         self.slots: List[_Slot] = [_Slot() for _ in range(max_slots)]
-        self.queue: "queue.Queue[Request]" = queue.Queue()
+        self.held: Dict[str, int] = {}  # request_id -> held slot index
+        self.queue: "queue.Queue" = queue.Queue()  # Request | Continuation
         self.results: Dict[str, Completion] = {}
         self._results_cond = threading.Condition()
         self._key = jax.random.key(seed)
@@ -176,9 +198,115 @@ class ServingEngine:
         )
         return cache, cur, pos, toks.T  # (B, n_steps)
 
+    def _slice_slot(self, cache: KVCache, slot):
+        """Extract one slot's cache row as a 1-slot KVCache."""
+        return KVCache(
+            k=tuple(jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=0) for k in cache.k),
+            v=tuple(jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=0) for v in cache.v),
+            length=jax.lax.dynamic_slice_in_dim(cache.length, slot, 1, axis=0),
+        )
+
+    def _chunk_prefill_one(self, params, ids, chunk_len, keep_len, pos, pixel_values, meta, cache1):
+        """Prefill a continuation chunk into a 1-slot cache truncated at keep_len."""
+        S = ids.shape[1]
+        attn_positions = keep_len[:, None] + jnp.arange(S)[None]
+        attn_valid = jnp.arange(S)[None] < chunk_len[:, None]
+        cache1 = cache1._replace(length=keep_len)
+        logits, cache1 = vlm_forward(
+            params, self.cfg, ids, pos,
+            pixel_values=pixel_values, vision_meta=meta,
+            attn_positions=attn_positions, attn_valid=attn_valid,
+            cache=cache1, update_cache_len=False, logit_index=chunk_len - 1,
+        )
+        return logits, cache1._replace(length=keep_len + chunk_len)
+
     # ------------------------------------------------------------------
     # host-side scheduler
     # ------------------------------------------------------------------
+
+    def submit_continuation(self, continuation: Continuation):
+        """Queue a continuation of a hold_slot request (the stage-2 zoom pattern)."""
+        self.queue.put(continuation)
+
+    def release_slot(self, request_id: str):
+        """Free a held slot without continuing it."""
+        slot_idx = self.held.pop(request_id, None)
+        if slot_idx is not None:
+            self.slots[slot_idx] = _Slot()
+
+    def _admit_continuation(self, c: Continuation):
+        cfg = self.cfg
+        slot_idx = self.held.pop(c.parent_request_id)
+        slot = self.slots[slot_idx]
+        # cache holds prompt + all generated EXCEPT the last produced token
+        in_cache = max(len(slot.generated) - 1, 0)
+        kept = min(c.kept_tokens, len(slot.generated))
+        extra = slot.generated[in_cache:kept] if kept > in_cache else []
+        chunk_ids = list(extra) + list(c.chunk_ids)
+        kept_cached = min(kept, in_cache)
+        keep_len = slot.prompt_len + kept_cached
+        start_pos = slot.prompt_next_pos + kept_cached
+
+        from ..models.rope import mrope_chunk_position_ids
+
+        S = bucket(len(chunk_ids), self.length_buckets)
+        padded = np.full((1, S), cfg.tokens.pad, np.int32)
+        padded[0, : len(chunk_ids)] = chunk_ids
+        grids = [g for _, g in c.images]
+        pos = np.ones((3, 1, S), np.int32)
+        p, nxt = mrope_chunk_position_ids(
+            np.asarray(chunk_ids), grids, start_pos,
+            image_pad_id=cfg.tokens.image_pad, merge_size=cfg.vision.spatial_merge_size,
+        )
+        pos[:, 0, : len(chunk_ids)] = p
+        pv = meta_dev = None
+        n_patches = 0
+        if c.images:
+            pv = np.concatenate([x for x, _ in c.images], axis=0)
+            n_patches = bucket(pv.shape[0], self.patch_buckets)
+            meta = vision_metadata(grids, cfg.vision, pad_to=n_patches)
+            if n_patches > pv.shape[0]:
+                pv = np.concatenate([pv, np.zeros((n_patches - pv.shape[0], pv.shape[1]), pv.dtype)])
+            meta_dev = {
+                "perm": jnp.asarray(meta.perm),
+                "inv_perm_merged": jnp.asarray(meta.inv_perm_merged),
+                "seg_window": jnp.asarray(meta.seg_window),
+                "seg_full": jnp.asarray(meta.seg_full),
+                "pos_ids": jnp.asarray(meta.pos_ids),
+            }
+            pv = jnp.asarray(pv)
+        key = ("cont", S, n_patches)
+        if key not in self._prefill_fns:
+            self._prefill_fns[key] = jax.jit(self._chunk_prefill_one)
+        if "slice" not in self._prefill_fns:
+            self._prefill_fns["slice"] = jax.jit(self._slice_slot)
+        cache1 = self._prefill_fns["slice"](self.cache, slot_idx)
+        logits, cache1 = self._prefill_fns[key](
+            self.params, jnp.asarray(padded), jnp.asarray([len(chunk_ids)], jnp.int32),
+            jnp.asarray([keep_len], jnp.int32), jnp.asarray(pos), pv, meta_dev, cache1,
+        )
+        self.stats["prefills"] += 1
+        if c.temperature <= 0.0:
+            tok = int(np.argmax(np.asarray(logits[0])))
+        else:
+            self._key, sub = jax.random.split(self._key)
+            tok = int(jax.random.categorical(sub, logits[0] / max(c.temperature, 1e-4)))
+        self.cache, self.cur_tokens, self.next_pos = self._insert_fn(
+            self.cache, cache1, slot_idx, tok, int(nxt), self.cur_tokens, self.next_pos
+        )
+        req = Request(
+            request_id=c.request_id, token_ids=chunk_ids, images=c.images,
+            max_tokens=c.max_tokens, temperature=c.temperature, hold_slot=c.hold_slot,
+        )
+        slot.request = req
+        slot.generated = [tok]
+        slot.remaining = c.max_tokens - 1
+        slot.held = False
+        slot.prompt_len = keep_len + len(chunk_ids)
+        slot.prompt_next_pos = int(nxt)
+        self.active[slot_idx] = True
+        if tok in self._stop_tokens or slot.remaining <= 0:
+            self._finish(slot_idx, "stop" if tok in self._stop_tokens else "length")
 
     def submit(self, request: Request):
         if len(request.token_ids) + request.max_tokens > self.max_seq_len:
@@ -239,6 +367,9 @@ class ServingEngine:
         slot.request = req
         slot.generated = [tok]
         slot.remaining = req.max_tokens - 1
+        slot.held = False
+        slot.prompt_len = len(ids)
+        slot.prompt_next_pos = int(nxt)
         self.active[slot_idx] = True
         if tok in self._stop_tokens or slot.remaining <= 0:
             self._finish(slot_idx, "stop" if tok in self._stop_tokens else "length")
@@ -259,18 +390,35 @@ class ServingEngine:
             self.results[req.request_id] = completion
             self._results_cond.notify_all()
         self.stats["completed"] += 1
-        self.slots[slot_idx] = _Slot()
         self.active[slot_idx] = False
+        if req.hold_slot:
+            slot.held = True
+            self.held[req.request_id] = slot_idx
+        else:
+            self.slots[slot_idx] = _Slot()
 
     def step(self):
         """One scheduler tick: admit from queue, pump one decode chunk, retire."""
-        for slot_idx in range(self.max_slots):
-            if not self.active[slot_idx]:
-                try:
-                    req = self.queue.get_nowait()
-                except queue.Empty:
-                    break
-                self._admit(req, slot_idx)
+        deferred = []
+        while True:
+            free = [i for i in range(self.max_slots)
+                    if not self.active[i] and not self.slots[i].held]
+            try:
+                item = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            if isinstance(item, Continuation):
+                if item.parent_request_id in self.held:
+                    self._admit_continuation(item)
+                else:
+                    deferred.append(item)  # parent not finished/held yet
+            elif free:
+                self._admit(item, free[0])
+            else:
+                deferred.append(item)
+                break
+        for item in deferred:
+            self.queue.put(item)
         if not self.active.any():
             return False
         temps = np.array(

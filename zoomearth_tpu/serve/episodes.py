@@ -1,0 +1,117 @@
+"""Episode-aware serving: pipelined two-stage zoom-QA on the continuous-batching engine.
+
+The production architecture for ZoomEarth serving: each episode's stage 1 runs as a
+hold_slot request; when it completes, the host parses the bbox and crops WHILE OTHER
+EPISODES KEEP DECODING, then submits a Continuation that reuses the held KV cache
+(prefilling only the crop's vision tokens). This realizes the north-star overlap
+(crop preprocessing hidden under decode) at the request level instead of the batch
+level — no wave barriers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Callable, List, Optional, Sequence
+
+from ..agent import prompts as PT
+from ..agent.episode import EpisodeResult, split_kept_tokens
+from ..agent.processor import Processor
+from ..image.geometry import cut_image, extract_answer, extract_bboxes, resize_image
+from .engine import Continuation, Request, ServingEngine
+
+
+def run_episodes_served(
+    engine: ServingEngine,
+    processor: Processor,
+    questions: Sequence[str],
+    images: Sequence,
+    *,
+    stage1_max_size: int = 512,
+    crop_min_size: int = 512,
+    max_new_tokens: int = 1024,
+    stage2_max_tokens: int = None,
+    temperature: float = 0.01,
+    prompt_fn: Optional[Callable[[str], str]] = None,
+) -> List[EpisodeResult]:
+    """Run N two-stage episodes through the engine, fully pipelined.
+
+    The engine pump thread must be running (engine.start()) or the caller must tick
+    engine.step() concurrently."""
+    tk = processor.tokenizer
+    cfg = engine.cfg
+    prompt_fn = prompt_fn or PT.stage1_prompt
+    stage2_max_tokens = stage2_max_tokens or max_new_tokens
+    n = len(questions)
+    results: List[Optional[EpisodeResult]] = [None] * n
+    lock = threading.Lock()
+    done = threading.Event()
+    pending = {"n": n}
+
+    prompts = [prompt_fn(q) for q in questions]
+    resized, scales = [], []
+    for img in images:
+        small = resize_image(img, stage1_max_size)
+        resized.append(small)
+        scales.append(max(img.width, img.height) / max(small.width, small.height))
+
+    def finish(i, r: EpisodeResult):
+        with lock:
+            results[i] = r
+            pending["n"] -= 1
+            if pending["n"] == 0:
+                done.set()
+
+    def stage2_worker(i, completion):
+        """Runs on a collector thread: crop + preprocess + continuation submit."""
+        out1_tokens = completion.token_ids
+        out1 = tk.decode(out1_tokens).strip()
+        boxes = extract_bboxes(out1, scales[i])
+        if not boxes:
+            engine.release_slot(f"ep{i}-s1")
+            finish(i, EpisodeResult(
+                question=questions[i], stage1=out1, stage2="",
+                answer1=extract_answer(out1), answer2=None, bbox=None, error=True,
+            ))
+            return
+        bbox = boxes[0]
+        crop = resize_image(cut_image(images[i], bbox, crop_min_size), stage1_max_size)
+        raw = tk.decode(out1_tokens, skip_special_tokens=False)
+        kept, residual = split_kept_tokens(tk, out1_tokens, raw.split("<answer>")[0])
+        crop_prepped = processor.preprocess_images([crop])
+        chunk = (tk.encode(residual) if residual else []) + processor.expand_image_pads(
+            tk.encode(PT.VISION_TOKENS), [crop_prepped[0][1]]
+        )
+        engine.submit_continuation(Continuation(
+            parent_request_id=f"ep{i}-s1", request_id=f"ep{i}-s2",
+            chunk_ids=chunk, images=crop_prepped, kept_tokens=len(kept),
+            max_tokens=stage2_max_tokens, temperature=temperature,
+        ))
+        c2 = engine.get_completion(f"ep{i}-s2", timeout=1800)
+        out2 = tk.decode(c2.token_ids).strip()
+        finish(i, EpisodeResult(
+            question=questions[i], stage1=out1, stage2=out2,
+            answer1=extract_answer(out1), answer2=extract_answer(out2),
+            bbox=bbox, error=False,
+        ))
+
+    collectors = []
+    for i in range(n):
+        ids, prepped = processor.encode(prompts[i], [resized[i]])
+        engine.submit(Request(
+            request_id=f"ep{i}-s1", token_ids=ids, images=prepped,
+            max_tokens=max_new_tokens, temperature=temperature, hold_slot=True,
+        ))
+
+        def collector(i=i):
+            c1 = engine.get_completion(f"ep{i}-s1", timeout=1800)
+            stage2_worker(i, c1)
+
+        t = threading.Thread(target=collector, daemon=True)
+        t.start()
+        collectors.append(t)
+
+    done.wait(timeout=3600)
+    for t in collectors:
+        t.join(timeout=5)
+    return results  # type: ignore[return-value]
