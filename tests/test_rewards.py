@@ -63,6 +63,44 @@ class TestBboxReward:
         area = get_crop_area([4990, 4990, 5000, 5000])
         assert area[2] - area[0] == 512 and area[2] > 5000
 
+    def test_crop_area_near_topleft_edge_ends_at_center_plus_half(self):
+        # box centered <256px from the top/left edge: x2 comes from the UNCLAMPED
+        # origin, so the window ends at center+256 and is NARROWER than min_size
+        # (customized_funcs.py:150-160)
+        area = get_crop_area([90, 40, 110, 60])  # center (100, 50)
+        assert area == [0, 0, 100 + 256, 50 + 256]
+
+    def test_crop_area_matches_reference_oracle(self):
+        # property test vs a verbatim port of reference get_crop_area
+        # (customized_funcs.py:144-162)
+        import random
+
+        def oracle(bbox, min_size=512):
+            x1, y1, x2, y2 = map(int, bbox)
+            width, height = x2 - x1, y2 - y1
+            if width < min_size or height < min_size:
+                center_x = (x1 + x2) // 2
+                center_y = (y1 + y2) // 2
+                new_x1 = center_x - min_size // 2
+                new_y1 = center_y - min_size // 2
+                new_x2 = new_x1 + min_size
+                new_y2 = new_y1 + min_size
+                new_x1 = max(0, new_x1)
+                new_y1 = max(0, new_y1)
+                return [int(new_x1), int(new_y1), int(new_x2), int(new_y2)]
+            else:
+                return bbox
+
+        rng = random.Random(0)
+        for _ in range(500):
+            # bias toward near-edge boxes (the divergence region)
+            x1 = rng.choice([rng.randint(0, 300), rng.randint(0, 4500)])
+            y1 = rng.choice([rng.randint(0, 300), rng.randint(0, 4500)])
+            w = rng.randint(1, 700)
+            h = rng.randint(1, 700)
+            box = [x1, y1, x1 + w, y1 + h]
+            assert get_crop_area(box) == oracle(box), box
+
 
 class TestAnswerReward:
     def test_stage2_used_when_cut(self):

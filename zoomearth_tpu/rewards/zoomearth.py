@@ -49,15 +49,22 @@ def _fix_order(box):
 def get_crop_area(bbox, min_size: int = 512):
     """Expand a small box to the min_size crop window WITHOUT right/bottom image
     clamping (customized_funcs.py:144-162 — distinct from cut_image's clamped window;
-    the reward compares crop areas in unbounded coordinates)."""
+    the reward compares crop areas in unbounded coordinates).
+
+    Order matters near the top/left edges: x2/y2 are computed from the UNCLAMPED
+    origin and only then is x1/y1 clamped to 0 — so a box centered < min_size/2 from
+    an edge yields a window ending at center + min_size/2, not clamped_x1 + min_size
+    (customized_funcs.py:150-160)."""
     x1, y1, x2, y2 = map(int, bbox)
     width, height = x2 - x1, y2 - y1
     if width < min_size or height < min_size:
         center_x = (x1 + x2) // 2
         center_y = (y1 + y2) // 2
-        new_x1 = max(0, center_x - min_size // 2)
-        new_y1 = max(0, center_y - min_size // 2)
-        return [int(new_x1), int(new_y1), new_x1 + min_size, new_y1 + min_size]
+        new_x1 = center_x - min_size // 2
+        new_y1 = center_y - min_size // 2
+        new_x2 = new_x1 + min_size
+        new_y2 = new_y1 + min_size
+        return [int(max(0, new_x1)), int(max(0, new_y1)), int(new_x2), int(new_y2)]
     return bbox
 
 
