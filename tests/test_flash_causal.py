@@ -22,8 +22,13 @@ def _check(q, k, v, positions, kv_len, block_q=32, block_kv=32, atol=2e-5):
     T = k.shape[1]
     slot = np.broadcast_to(np.arange(T)[None], (B, T))
     valid = slot < kv_len[:, None]
+    # causal_attention takes kv-head-major (cache-layout) k/v; the flash kernel takes
+    # seq-major fresh projections
     ref = np.asarray(
-        causal_attention(q, k, v, positions=positions, kv_positions=jnp.asarray(slot), valid=jnp.asarray(valid))
+        causal_attention(
+            q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+            positions=positions, kv_positions=jnp.asarray(slot), valid=jnp.asarray(valid),
+        )
     )
     out = np.asarray(
         flash_causal_attention(q, k, v, positions, kv_len,

@@ -43,6 +43,32 @@ def test_resize_close_to_pil():
     assert diff.max() <= 1  # within PIL's fixed-point rounding
 
 
+def test_preprocess_u8_device_normalize_matches_fp32():
+    """uint8 path + device-order normalization == host fp32 path, bit-exact; native
+    and numpy patchify_u8 agree byte-for-byte."""
+    from zoomearth_tpu.image.preprocess import preprocess_image_u8
+
+    img = Image.fromarray(_img(620, 480, seed=7))
+    ref_pv, ref_grid = preprocess_image(img, max_pixels=256 * 28 * 28)
+    u8_pv, u8_grid = preprocess_image_u8(img, max_pixels=256 * 28 * 28)
+    assert u8_grid == ref_grid and u8_pv.dtype == np.uint8
+    reps = u8_pv.shape[-1] // 3
+    dev = (u8_pv.astype(np.float32) / 255.0 - np.repeat(IMAGE_MEAN, reps)) / np.repeat(
+        IMAGE_STD, reps
+    )
+    np.testing.assert_array_equal(dev.astype(np.float32), ref_pv)
+
+    import zoomearth_tpu.native as N
+
+    orig = N.available
+    N.available = lambda: False
+    try:
+        np_pv, np_grid = preprocess_image_u8(img, max_pixels=256 * 28 * 28)
+    finally:
+        N.available = orig
+    assert np_grid == u8_grid and np.array_equal(np_pv, u8_pv)
+
+
 def test_preprocess_fast_matches_reference_pipeline():
     """Fast path must produce the SAME pixels as the parity path (PIL resize +
     float-exact patchify)."""

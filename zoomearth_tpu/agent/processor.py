@@ -15,7 +15,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import VLMConfig
-from ..image.preprocess import num_vision_tokens, preprocess_image
+from ..image.preprocess import num_vision_tokens, preprocess_image_u8
 
 IGNORE_INDEX = -100
 
@@ -37,7 +37,7 @@ class Processor:
             kw["max_pixels"] = self.max_pixels
         v = self.cfg.vision
         return [
-            preprocess_image(
+            preprocess_image_u8(
                 img,
                 patch_size=v.patch_size,
                 temporal_patch_size=v.temporal_patch_size,

@@ -159,6 +159,40 @@ def preprocess_image_fast(
     return flat, (1, h_bar // patch_size, w_bar // patch_size)
 
 
+def preprocess_image_u8(
+    image,
+    patch_size: int = 14,
+    temporal_patch_size: int = 2,
+    merge_size: int = 2,
+    min_pixels: int = DEFAULT_MIN_PIXELS,
+    max_pixels: int = DEFAULT_MAX_PIXELS,
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """Raw-byte preprocessing path: resize + patchify only, NO host normalization.
+
+    Returns uint8 (num_patches, patch_dim) — 4x fewer bytes over the host->device
+    link than the float32 paths. The ViT normalizes on device (vit_forward detects
+    the uint8 dtype), with the numpy op order exactly, so end results are identical
+    to preprocess_image."""
+    from .. import native
+
+    arr = np.asarray(image.convert("RGB") if hasattr(image, "convert") else image)
+    h, w = arr.shape[:2]
+    factor = patch_size * merge_size
+    h_bar, w_bar = smart_resize(h, w, factor, min_pixels, max_pixels)
+    if (h_bar, w_bar) != (h, w):
+        arr = resize_bicubic(arr, (h_bar, w_bar))
+    grid = (1, h_bar // patch_size, w_bar // patch_size)
+    if native.available():
+        return native.patchify_u8(
+            np.ascontiguousarray(arr), patch_size, temporal_patch_size, merge_size
+        ), grid
+    # numpy fallback: same rearrange as patchify() but on raw bytes
+    chw = np.transpose(arr, (2, 0, 1))
+    flat, grid2 = patchify(chw, patch_size, temporal_patch_size, merge_size)
+    assert grid2 == grid
+    return flat.astype(np.uint8), grid
+
+
 def preprocess_images(images: Sequence, **kw) -> Tuple[np.ndarray, np.ndarray]:
     """Batch of images -> concatenated pixel_values (N_total, D) + grid_thw (n, 3)."""
     pvs, grids = [], []

@@ -23,6 +23,7 @@ Params pytree (see params.init_vision_params for shapes):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -85,8 +86,18 @@ def vision_metadata(
     pad_to: optionally pad the patch dimension to this bucket size (multiple of
     merge_unit); pad patches get segment id PAD_SEG (sorts last, keeping ids ascending
     for the flash kernel) so attention isolates them.
+
+    Memoized on (grids, cfg, pad_to): metadata depends only on image SHAPES, which
+    bucket to a handful of values in steady state (e.g. every 512px crop is (1,36,36)),
+    so repeat waves skip the numpy work entirely. Treat results as read-only.
     """
-    grid_thw = [tuple(int(v) for v in g) for g in grid_thw]
+    key = (tuple(tuple(int(v) for v in g) for g in grid_thw), cfg, int(pad_to))
+    return _vision_metadata_cached(key)
+
+
+@functools.lru_cache(maxsize=256)
+def _vision_metadata_cached(key) -> VisionMetadata:
+    grid_thw, cfg, pad_to = key
     m2 = cfg.merge_unit
     n_patches = sum(t * h * w for t, h, w in grid_thw)
     if len(cfg.fullatt_block_indexes) >= cfg.depth:
@@ -197,7 +208,18 @@ def vit_forward(
 
     S may exceed the real patch count (bucketed); pad rows are isolated by seg=-1 and
     dropped by the inv_perm_merged gather (which only indexes real tokens).
+
+    pixel_values may be uint8 (raw bytes from preprocess_image_u8 — 4x cheaper on the
+    host->device link): CLIP normalization then runs here, in the numpy op order
+    (x/255, minus mean, divide std, per channel) so results match the host fp32 path.
     """
+    if pixel_values.dtype == jnp.uint8:
+        from ..image.preprocess import IMAGE_MEAN, IMAGE_STD
+
+        reps = pixel_values.shape[-1] // cfg.in_channels  # temporal*patch² per channel
+        mean_col = jnp.asarray(np.repeat(IMAGE_MEAN, reps), jnp.float32)
+        std_col = jnp.asarray(np.repeat(IMAGE_STD, reps), jnp.float32)
+        pixel_values = (pixel_values.astype(jnp.float32) / 255.0 - mean_col) / std_col
     x = pixel_values.astype(params["patch_embed"]["kernel"].dtype) @ params["patch_embed"]["kernel"]
     x = jnp.take(x, perm, axis=0)  # into window order
     cos, sin = vision_rope_cos_sin(pos_ids, cfg.head_dim)

@@ -50,6 +50,7 @@ def _load():
         lib.resize_bicubic_u8.argtypes = [u8p, i, i, u8p, i, i]
         lib.crop_u8.argtypes = [u8p, i, i, i, i, i, i, u8p]
         lib.normalize_patchify.argtypes = [u8p, i, i, f32p, f32p, i, i, i, f32p]
+        lib.patchify_u8.argtypes = [u8p, i, i, i, i, i, u8p]
         _lib = lib
         return lib
 
@@ -81,6 +82,20 @@ def crop(image: np.ndarray, box) -> np.ndarray:
     x2, y2 = min(w, x2), min(h, y2)
     out = np.empty((y2 - y1, x2 - x1, 3), np.uint8)
     lib.crop_u8(image, h, w, x1, y1, x2, y2, out)
+    return out
+
+
+def patchify_u8(
+    image: np.ndarray, patch: int = 14, temporal: int = 2, merge: int = 2
+) -> np.ndarray:
+    """uint8 HWC (h, w, 3) -> uint8 (grid_h*grid_w, 3*temporal*patch**2): patchify
+    WITHOUT normalization (normalization happens on device, see vit_forward)."""
+    lib = _load()
+    image = np.ascontiguousarray(image, dtype=np.uint8)
+    h, w = image.shape[:2]
+    grid_h, grid_w = h // patch, w // patch
+    out = np.empty((grid_h * grid_w, 3 * temporal * patch * patch), np.uint8)
+    lib.patchify_u8(image, h, w, patch, temporal, merge, out)
     return out
 
 

@@ -171,4 +171,41 @@ void normalize_patchify(const uint8_t* src, int h, int w,
                 }
 }
 
+// Byte-only conv-patchify (no normalization): uint8 HWC -> uint8 patches in the
+// same layout as normalize_patchify. Pixel normalization moves onto the device
+// (folded into the ViT patch-embed input), so the host ships 4x fewer bytes over
+// the host->HBM link and does no float math at all.
+void patchify_u8(const uint8_t* src, int h, int w,
+                 int patch, int temporal, int merge,
+                 uint8_t* out) {
+    const int C = 3;
+    int grid_h = h / patch, grid_w = w / patch;
+    int hb = grid_h / merge, wb = grid_w / merge;
+    size_t patch_dim = (size_t)C * temporal * patch * patch;
+    size_t p_idx = 0;
+    for (int bh = 0; bh < hb; bh++)
+        for (int bw = 0; bw < wb; bw++)
+            for (int mh = 0; mh < merge; mh++)
+                for (int mw = 0; mw < merge; mw++, p_idx++) {
+                    int gy = bh * merge + mh, gx = bw * merge + mw;
+                    uint8_t* dst = out + p_idx * patch_dim;
+                    for (int c = 0; c < C; c++) {
+                        uint8_t* d0 = dst + (size_t)c * temporal * patch * patch;
+                        for (int py = 0; py < patch; py++) {
+                            const uint8_t* srow =
+                                src + (((size_t)(gy * patch + py) * w) + gx * patch) * C + c;
+                            uint8_t* d = d0 + py * patch;
+                            for (int px = 0; px < patch; px++) {
+                                d[px] = srow[(size_t)px * C];
+                            }
+                        }
+                        // temporal repeat: identical frames, plain byte copy
+                        for (int t = 1; t < temporal; t++) {
+                            std::memcpy(d0 + (size_t)t * patch * patch, d0,
+                                        (size_t)patch * patch);
+                        }
+                    }
+                }
+}
+
 }  // extern "C"

@@ -70,30 +70,33 @@ def _gqa_sdpa(q, k, v, mask, scale):
     here would re-read Hq/Hkv times the cache bytes per decode step — the decode loop's
     main bandwidth hazard).
 
-    q (B, S, H, D); k/v (B, T, Hkv, D); mask broadcastable to (B, Hkv, G, S, T)."""
+    q (B, S, H, D); k/v (B, Hkv, T, D) — kv-head-major so the (T, D) minor dims map
+    cleanly onto the TPU's (8, 128) HBM tiling (a (..., Hkv, D) minor layout physically
+    pads tiny Hkv up to 8 sublanes: 4x cache bytes at Hkv=2).
+    mask broadcastable to (B, Hkv, G, S, T)."""
     B, S, H, D = q.shape
-    Hkv = k.shape[2]
+    Hkv = k.shape[1]
     G = H // Hkv
     qg = q.reshape(B, S, Hkv, G, D)
-    logits = jnp.einsum("bskgd,btkd->bkgst", qg, k).astype(jnp.float32) * scale
+    logits = jnp.einsum("bskgd,bktd->bkgst", qg, k).astype(jnp.float32) * scale
     if mask is not None:
         logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bkgst,btkd->bskgd", probs.astype(v.dtype), v)
+    out = jnp.einsum("bkgst,bktd->bskgd", probs.astype(v.dtype), v)
     return out.reshape(B, S, H, D)
 
 
 def causal_attention(q, k, v, *, positions=None, kv_positions=None, valid=None, scale=None):
     """Batched causal self-attention with GQA (prefill path).
 
-    q: (B, S, H, D); k/v: (B, T, Hkv, D).
+    q: (B, S, H, D); k/v: (B, Hkv, T, D) kv-head-major (cache layout).
     positions: (B, S) query positions; kv_positions: (B, T) key positions — causality is
     position-based so it works with left-padded prompts and KV caches. Defaults to
     iota when omitted (S == T).
     valid: (B, T) bool mask of usable kv slots (padding = False).
     """
     B, S, H, D = q.shape
-    T = k.shape[1]
+    T = k.shape[2]
     if scale is None:
         scale = D**-0.5
     if positions is None:
@@ -107,12 +110,12 @@ def causal_attention(q, k, v, *, positions=None, kv_positions=None, valid=None, 
 
 
 def decode_attention(q, k_cache, v_cache, *, kv_len, scale=None):
-    """Single-step decode: q (B, 1, H, D) against cache (B, T, Hkv, D).
+    """Single-step decode: q (B, 1, H, D) against cache (B, Hkv, T, D).
 
     kv_len: (B,) number of valid cache entries per sequence (new token included).
     """
     B, _, H, D = q.shape
-    T = k_cache.shape[1]
+    T = k_cache.shape[2]
     if scale is None:
         scale = D**-0.5
     valid = jnp.arange(T)[None, :] < kv_len[:, None]  # (B, T)

@@ -34,9 +34,20 @@ def is_quantized(w) -> bool:
 
 
 def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
-    """x @ w for plain or quantized weights (dequant fused into the matmul by XLA)."""
+    """x @ w for plain or quantized weights.
+
+    Quantized path: mixed-dtype dot_general feeds int8 weights STRAIGHT into the MXU
+    (int8 is exactly representable in bf16, converted in the operand pipeline — the
+    weights are never dequantized in HBM), then applies the per-output-channel scale to
+    the output: x @ (q * s) == (x @ q) * s for column scales. An explicit
+    `q.astype(bf16) * s` formulation instead gets hoisted out of the decode while-loop
+    by XLA as loop-invariant, silently re-materializing full bf16 weights (measured:
+    step time == bf16 step time)."""
     if is_quantized(w):
-        return jnp.dot(x, w["q"].astype(x.dtype) * w["s"].astype(x.dtype))
+        y = jax.lax.dot_general(
+            x, w["q"], (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=x.dtype
+        )
+        return y * w["s"].astype(y.dtype)
     return x @ w
 
 

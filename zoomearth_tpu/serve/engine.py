@@ -149,20 +149,20 @@ class ServingEngine:
 
     def _insert(self, cache: KVCache, cache1: KVCache, slot, cur_tok, nxt_pos, cur_tokens, next_pos):
         """Copy a 1-slot prefill cache into slot `slot` of the pool."""
-        T1 = cache1.k[0].shape[1]
+        T1 = cache1.k[0].shape[2]  # (1, Hkv, T, D) layout
         new_k = tuple(
             jax.lax.dynamic_update_slice(k, c1k.astype(k.dtype), (slot, 0, 0, 0))
-            if T1 == k.shape[1]
+            if T1 == k.shape[2]
             else jax.lax.dynamic_update_slice(
-                k, jnp.pad(c1k.astype(k.dtype), ((0, 0), (0, k.shape[1] - T1), (0, 0), (0, 0))), (slot, 0, 0, 0)
+                k, jnp.pad(c1k.astype(k.dtype), ((0, 0), (0, 0), (0, k.shape[2] - T1), (0, 0))), (slot, 0, 0, 0)
             )
             for k, c1k in zip(cache.k, cache1.k)
         )
         new_v = tuple(
             jax.lax.dynamic_update_slice(v, c1v.astype(v.dtype), (slot, 0, 0, 0))
-            if T1 == v.shape[1]
+            if T1 == v.shape[2]
             else jax.lax.dynamic_update_slice(
-                v, jnp.pad(c1v.astype(v.dtype), ((0, 0), (0, v.shape[1] - T1), (0, 0), (0, 0))), (slot, 0, 0, 0)
+                v, jnp.pad(c1v.astype(v.dtype), ((0, 0), (0, 0), (0, v.shape[2] - T1), (0, 0))), (slot, 0, 0, 0)
             )
             for v, c1v in zip(cache.v, cache1.v)
         )
