@@ -58,29 +58,50 @@ def main_engine():
 
     cfg = VLMConfig.qwen2_5_vl_3b()
     params = _zero_params(cfg, jnp.bfloat16)
+    if os.environ.get("BENCH_NO_INT8") != "1":
+        from zoomearth_tpu.ops.quant import quantize_decoder_int8
+
+        params = quantize_decoder_int8(params)  # serving default: weight-only int8
+    # single prefill bucket + single nonzero patch bucket: admission batch splits are
+    # timing-dependent, and every distinct (S, n_emb) shape is a fresh remote compile —
+    # collapse the shape space so the 2 warmup rounds cover every program
     engine = ServingEngine(params, cfg, max_slots=BATCH, max_seq_len=1536, decode_chunk=16,
-                           cache_dtype=jnp.bfloat16)
+                           cache_dtype=jnp.bfloat16,
+                           length_buckets=(768,), patch_buckets=(0, 24576))
     proc = Processor(FakeTokenizer(cfg.tokens), cfg, max_pixels=512 * 512)
     # random weights emit no bbox: force the stage-2 path like the wave bench does
     EP.extract_bboxes = lambda text, scale=1.0: [[2200, 2200, 2380, 2350]]
     rng = np.random.default_rng(0)
     tiles = [Image.fromarray(synthetic_tile(i).astype(np.uint8)) for i in range(BATCH)]
     questions = ["what is near the marked area?"] * BATCH
-    short_prompt = lambda q: "x" * 350 + "<|vision_start|><|image_pad|><|vision_end|>" + q
+    # Real LRS-GRO prompt structure: short system prefix + stage-1 image + question +
+    # long shared instruction (agent/prompts.py). The "system + image" leading span is
+    # prefix-cached per image (LRS-GRO asks ~10.7 questions per image; rounds here
+    # re-ask about the same 16 tiles).
+    sys_prefix = "sys: you are an analyst\n" + "<|vision_start|><|image_pad|><|vision_end|>"
+    short_prompt = lambda q: sys_prefix + q + " rules: " + "x" * 320
+    image_keys = [f"tile-{i}" for i in range(BATCH)]
     engine.start()
     try:
         t0 = time.time()
-        run_episodes_served(engine, proc, questions, tiles, max_new_tokens=STAGE1_NEW,
-                            stage2_max_tokens=STAGE2_NEW, prompt_fn=short_prompt)
+        # two warmup rounds: the first populates the prefix store (all misses), the
+        # second compiles the prefix-HIT shapes (suffix-only prefills) — both programs
+        # must be warm before timing
+        for _ in range(2):
+            run_episodes_served(engine, proc, questions, tiles, max_new_tokens=STAGE1_NEW,
+                                stage2_max_tokens=STAGE2_NEW, prompt_fn=short_prompt,
+                                image_keys=image_keys, prefix_str=sys_prefix)
         print(f"engine warmup: {time.time() - t0:.1f}s", file=sys.stderr)
         t0 = time.time()
         for w in range(WAVES):
             rs = run_episodes_served(engine, proc, questions, tiles, max_new_tokens=STAGE1_NEW,
-                                     stage2_max_tokens=STAGE2_NEW, prompt_fn=short_prompt)
+                                     stage2_max_tokens=STAGE2_NEW, prompt_fn=short_prompt,
+                                     image_keys=image_keys, prefix_str=sys_prefix)
             assert all(r is not None for r in rs)
         dt = time.time() - t0
         qps = BATCH * WAVES / dt
-        print(f"{WAVES} rounds x {BATCH} episodes in {dt:.2f}s", file=sys.stderr)
+        print(f"{WAVES} rounds x {BATCH} episodes in {dt:.2f}s "
+              f"(stats: {engine.stats})", file=sys.stderr)
     finally:
         engine.stop()
     print(json.dumps({

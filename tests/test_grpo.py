@@ -96,6 +96,9 @@ class TestLossMath:
 @pytest.fixture
 def tiny_trainer(monkeypatch):
     monkeypatch.setattr(PT, "rl_prompt", lambda q: PT.PREFIX + q + "<|im_end|>\n<|im_start|>assistant\n")
+    monkeypatch.setattr(PT, "text_rl_prompt",
+                        lambda q: "<|im_start|>system\nsolve<|im_end|>\n<|im_start|>user\n" + q
+                        + "<|im_end|>\n<|im_start|>assistant\n")
     params = init_vlm_params(jax.random.key(0), CFG)
     proc = Processor(FakeTokenizer(CFG.tokens), CFG, max_pixels=4 * 28 * 28)
     rng = np.random.default_rng(3)
@@ -199,3 +202,82 @@ def test_rollout_reference_path_still_works(tiny_trainer):
     t.grpo = dc.replace(t.grpo, reuse_cache=False)
     rb = t.rollout(_samples(), seed=6)
     assert all(c != "" for c in rb.completions2[: t.grpo.num_generations])
+
+
+def test_scale_rewards_std_normalization(tiny_trainer):
+    import dataclasses as dc
+
+    t = tiny_trainer
+    t.grpo = dc.replace(t.grpo, scale_rewards=True)
+    rb = t.rollout(_samples(), seed=7)
+    G = t.grpo.num_generations
+    adv = rb.advantages.reshape(-1, G)
+    np.testing.assert_allclose(adv.mean(1), 0.0, atol=1e-5)
+    # vllm_grpo_trainer variant: (r - mean) / (std + 1e-4)
+    rewards = rb.rewards_per_func.sum(1).reshape(-1, G)
+    want = (rewards - rewards.mean(1, keepdims=True)) / (rewards.std(1, keepdims=True) + 1e-4)
+    np.testing.assert_allclose(adv, want, atol=1e-5)
+
+
+def test_freeze_vision_modules(tiny_trainer):
+    import dataclasses as dc
+
+    t = tiny_trainer
+    t.grpo = dc.replace(t.grpo, freeze_vision_modules=True)
+    vis_before = jax.tree.map(lambda x: np.asarray(x).copy(), t.params["vision"])
+    txt_before = np.asarray(jax.tree.leaves(t.params["text"])[0]).copy()
+    t.step(_samples(), seed=8)
+    for a, b in zip(jax.tree.leaves(vis_before), jax.tree.leaves(t.params["vision"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(txt_before, np.asarray(jax.tree.leaves(t.params["text"])[0]))
+
+
+def test_tr_dpo_ref_sync(tiny_trainer):
+    import dataclasses as dc
+
+    t = tiny_trainer
+    t.grpo = dc.replace(t.grpo, sync_ref_model=True, ref_model_sync_steps=1,
+                        ref_model_mixup_alpha=0.5)
+    ref_before = np.asarray(jax.tree.leaves(t.ref_params)[0]).copy()
+    t.step(_samples(), seed=9)
+    ref_after = np.asarray(jax.tree.leaves(t.ref_params)[0])
+    pol_after = np.asarray(jax.tree.leaves(t.params)[0])
+    assert not np.allclose(ref_before, ref_after)  # ref moved
+    np.testing.assert_allclose(ref_after, 0.5 * pol_after + 0.5 * ref_before, atol=2e-2)
+
+
+def test_text_only_rollout(tiny_trainer):
+    """Imageless samples (legacy grpo.py text path): no vision anywhere in the batch."""
+    t = tiny_trainer
+    texty = [
+        LRSGROSample(question_id="1", image_name="", category="m", question="1+1?",
+                     higher_level="r", ground_truth="2", bbox=[], type="global",
+                     image_path=None),
+        LRSGROSample(question_id="2", image_name="", category="m", question="2*3?",
+                     higher_level="r", ground_truth="6", bbox=[], type="global",
+                     image_path=None),
+    ]
+    rb = t.rollout(texty, seed=10)
+    assert rb.pixel_values is None and rb.vision_meta is None
+    assert all(c == "" for c in rb.completions2)
+    assert rb.completion_mask.sum() > 0
+    m = t.step(texty, seed=10)
+    assert np.isfinite(m["loss"])
+
+
+def test_mixed_image_and_text_rollout(tiny_trainer):
+    """One vision sample + one imageless sample in the same GRPO batch."""
+    t = tiny_trainer
+    mixed = [
+        _samples()[0],
+        LRSGROSample(question_id="3", image_name="", category="m", question="1+2?",
+                     higher_level="r", ground_truth="3", bbox=[], type="global",
+                     image_path=None),
+    ]
+    rb = t.rollout(mixed, seed=11)
+    G = t.grpo.num_generations
+    assert rb.pixel_values is not None  # the vision sample's images are packed
+    assert all(c != "" for c in rb.completions2[:G])
+    assert all(c == "" for c in rb.completions2[G:])
+    m = t.step(mixed, seed=11)
+    assert np.isfinite(m["loss"])

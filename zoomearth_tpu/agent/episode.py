@@ -155,8 +155,11 @@ def run_episodes(
                     full_keep[i] = len(encoded[i][0])
                     full_start[i] = int(batch.next_pos[i])
             bc = prepare_continuation(cfg, full_chunks, full_imgs, full_start)
+            inert = np.ones((len(questions),), bool)
+            inert[s2_idx] = False  # bbox-less rows decode nothing (start done)
             out2_all = generator.continue_generate(
-                stage1_cache, bc, np.asarray(full_keep, np.int32), gen, seed=seed + 1
+                stage1_cache, bc, np.asarray(full_keep, np.int32), gen, seed=seed + 1,
+                inert_mask=inert,
             )
             for i in s2_idx:
                 out2 = tk.decode(out2_all[i]).strip()

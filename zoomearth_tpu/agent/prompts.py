@@ -84,6 +84,24 @@ def rl_prompt(question: str) -> str:
     return PREFIX + question + body + "<|im_end|>\n<|im_start|>assistant\n"
 
 
+TEXT_SYSTEM_PROMPT = (
+    "A conversation between User and Assistant. The user asks a question, and the Assistant solves it. The assistant "
+    "first thinks about the reasoning process in the mind and then provides the user with the answer. The reasoning "
+    "process and answer are enclosed within <think> </think> and <answer> </answer> tags, respectively, i.e., "
+    "<think> reasoning process here </think><answer> answer here </answer>"
+)
+
+
+def text_rl_prompt(question: str) -> str:
+    """Text-only (imageless) GRPO prompt — the legacy open-r1 text path
+    (reference grpo.py:118-142: SYSTEM_PROMPT system turn + question user turn),
+    rendered in the Qwen chat format."""
+    return (
+        "<|im_start|>system\n" + TEXT_SYSTEM_PROMPT + "<|im_end|>\n"
+        "<|im_start|>user\n" + question + "<|im_end|>\n<|im_start|>assistant\n"
+    )
+
+
 def stage2_prompt(prompt1: str, stage1_output: str) -> str:
     """Continue the assistant turn with the pre-<answer> reasoning and a second image
     (infer.py:227)."""

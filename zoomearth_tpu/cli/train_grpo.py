@@ -31,6 +31,13 @@ def main(argv=None):
     p.add_argument("--epsilon", type=float, default=0.2)
     p.add_argument("--epsilon_high", type=float, default=None)
     p.add_argument("--num_iterations", type=int, default=1)
+    p.add_argument("--scale_rewards", action="store_true",
+                   help="divide advantages by group std (vLLM-trainer variant)")
+    p.add_argument("--freeze_vision_modules", action="store_true")
+    p.add_argument("--sync_ref_model", action="store_true",
+                   help="TR-DPO: mix policy into the reference every sync steps")
+    p.add_argument("--ref_model_mixup_alpha", type=float, default=0.6)
+    p.add_argument("--ref_model_sync_steps", type=int, default=512)
     p.add_argument("--reward_funcs", nargs="+", default=["iou", "format", "answer"])
     p.add_argument("--num_train_epochs", type=int, default=1)
     p.add_argument("--save_steps", type=int, default=50)
@@ -56,6 +63,11 @@ def main(argv=None):
         epsilon_low=args.epsilon,
         epsilon_high=args.epsilon_high if args.epsilon_high is not None else args.epsilon,
         num_iterations=args.num_iterations,
+        scale_rewards=args.scale_rewards,
+        freeze_vision_modules=args.freeze_vision_modules,
+        sync_ref_model=args.sync_ref_model,
+        ref_model_mixup_alpha=args.ref_model_mixup_alpha,
+        ref_model_sync_steps=args.ref_model_sync_steps,
     )
     trainer = GRPOTrainer(
         params, cfg, grpo_cfg, processor,
@@ -74,9 +86,15 @@ def main(argv=None):
     metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
     os.makedirs(args.output_dir, exist_ok=True)
     global_step = 0
+    import random as _random
+
     with open(metrics_path, "a") as mf:
         for epoch in range(args.num_train_epochs):
-            for batch in batched(samples, args.per_device_train_batch_size, drop_last=True):
+            # per-epoch shuffle, seeded for deterministic resume (the reference's
+            # RepeatRandomSampler shuffles prompt order, grpo_trainer.py:897-911)
+            epoch_samples = list(samples)
+            _random.Random(args.seed + epoch).shuffle(epoch_samples)
+            for batch in batched(epoch_samples, args.per_device_train_batch_size, drop_last=True):
                 global_step += 1
                 if global_step <= start_step:
                     continue

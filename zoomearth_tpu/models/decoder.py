@@ -65,9 +65,10 @@ def _attn_layer(
     sin,  # (B, S, head_dim)
     positions,  # (B, S)
     attn_valid,  # (B, S) bool: real (non-pad) input tokens
-    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # (B, T, Hkv, D) existing cache slice
+    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]],  # (B, Hkv, T, D) existing cache slice
     cache_len: Optional[jnp.ndarray],  # (B,)
     use_flash: bool = False,  # inference-only (no VJP); opt-in: XLA wins at S<~2k
+    write_pos: Optional[jnp.ndarray] = None,  # (B, S) explicit kv write slots; >= T drops
 ):
     B, S, _ = x.shape
     H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -93,12 +94,21 @@ def _attn_layer(
         # cache layout: (B, Hkv, T, D) — scatter the (B, S, Hkv, D) projections in
         # kv-head-major order at each row's cache_len
         k_cache, v_cache = cache_kv
-        kT = k.transpose(0, 2, 1, 3)  # (B, Hkv, S, D)
-        vT = v.transpose(0, 2, 1, 3)
-        scatter = jax.vmap(lambda c, x, i: jax.lax.dynamic_update_slice(c, x, (0, i, 0)))
-        idx = cache_len  # (B,)
-        k_cache = scatter(k_cache, kT, idx)
-        v_cache = scatter(v_cache, vT, idx)
+        if write_pos is not None:
+            # Explicit per-token write slots (chunk prefill): out-of-range positions
+            # (>= T) are DROPPED — this is how pad tokens and non-participating rows
+            # write nothing. The dynamic_update_slice path below instead CLAMPS starts
+            # that would overflow, silently shifting the write window onto valid kv.
+            bidx = jnp.arange(k_cache.shape[0])[:, None]
+            k_cache = k_cache.at[bidx, :, write_pos, :].set(k.astype(k_cache.dtype), mode="drop")
+            v_cache = v_cache.at[bidx, :, write_pos, :].set(v.astype(v_cache.dtype), mode="drop")
+        else:
+            kT = k.transpose(0, 2, 1, 3)  # (B, Hkv, S, D)
+            vT = v.transpose(0, 2, 1, 3)
+            scatter = jax.vmap(lambda c, x, i: jax.lax.dynamic_update_slice(c, x, (0, i, 0)))
+            idx = cache_len  # (B,)
+            k_cache = scatter(k_cache, kT, idx)
+            v_cache = scatter(v_cache, vT, idx)
         if S == 1:
             # Single-step decode: attend over the prefix + the new token.
             out = decode_attention(q, k_cache, v_cache, kv_len=cache_len + 1)
@@ -133,6 +143,7 @@ def decoder_forward(
     cache: Optional[KVCache] = None,
     update_cache_len: bool = True,
     use_flash: bool = False,
+    write_pos: Optional[jnp.ndarray] = None,
 ):
     """Run the decoder stack. Returns (hidden_states, new_cache).
 
@@ -156,6 +167,7 @@ def decoder_forward(
         attn_out, kv = _attn_layer(
             layer["attn"], cfg, h, cos, sin, attn_positions, attn_valid, cache_kv, cache_len,
             use_flash=use_flash and _use_flash() and S > 1,
+            write_pos=write_pos,
         )
         x = x + attn_out
         h = rms_norm(x, layer["post_ln"]["scale"], cfg.rms_norm_eps)

@@ -57,16 +57,24 @@ def vlm_forward(
     update_cache_len: bool = True,
     logit_index: Optional[jnp.ndarray] = None,
     use_flash: bool = False,
+    write_pos: Optional[jnp.ndarray] = None,
+    vision_embeds: Optional[jnp.ndarray] = None,
 ):
     """Full forward -> (logits float32, new_cache).
+
+    Vision input: either raw `pixel_values` (+ vision_meta) — the ViT runs inside this
+    program — or precomputed `vision_embeds` (N_merged, E) from compute_vision_embeds.
+    The split form lets callers compile the ViT once per patch bucket and share it
+    across every prompt-shape variant (engine prefill shapes would otherwise each
+    re-compile the 32-block tower), and enables per-image embedding caches.
 
     logits is (B, S, V), or (B, V) when logit_index (B,) is given — then only that
     position's hidden state is projected (prefill needs just the last valid token;
     projecting all positions would materialize a (B, S, V) fp32 tensor, ~5 GB at 3B
     scale for S=1024)."""
     x = embed_tokens(params, input_ids)
-    if pixel_values is not None:
-        vis = vit_forward(
+    if pixel_values is not None and vision_embeds is None:
+        vision_embeds = vit_forward(
             params["vision"],
             cfg.vision,
             pixel_values,
@@ -76,8 +84,9 @@ def vlm_forward(
             vision_meta["seg_full"],
             vision_meta["pos_ids"],
         )
+    if vision_embeds is not None:
         is_image = input_ids == cfg.tokens.image_pad
-        x = merge_vision_embeddings(x, vis, is_image)
+        x = merge_vision_embeddings(x, vision_embeds, is_image)
     hidden, new_cache = decoder_forward(
         params["text"],
         cfg.text,
@@ -88,6 +97,7 @@ def vlm_forward(
         cache=cache,
         update_cache_len=update_cache_len,
         use_flash=use_flash,
+        write_pos=write_pos,
     )
     if logit_index is not None:
         hidden = jnp.take_along_axis(hidden, logit_index[:, None, None], axis=1)[:, 0]
@@ -110,6 +120,17 @@ def masked_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int =
     n = jnp.maximum(valid.sum(), 1)
     loss = -(tok_logp * valid).sum() / n
     return loss, valid.sum()
+
+
+def compute_vision_embeds(params, cfg: VLMConfig, pixel_values, vision_meta):
+    """Run just the vision tower: packed patches -> (N_merged, E) merged embeddings in
+    image order. Jit this separately (keyed by the patch bucket) so prompt-shape
+    variants share one compiled ViT."""
+    return vit_forward(
+        params["vision"], cfg.vision, pixel_values,
+        vision_meta["perm"], vision_meta["inv_perm_merged"],
+        vision_meta["seg_window"], vision_meta["seg_full"], vision_meta["pos_ids"],
+    )
 
 
 def vision_meta_to_device(meta) -> dict:

@@ -196,8 +196,12 @@ class Generator:
         cache = cache._replace(length=lengths)
         return last, cache
 
-    def _decode_loop(self, params, first_logits, cache, next_pos, key, *, max_new, temperature, top_p, stop_tokens):
-        """While-loop decode. Returns tokens (B, max_new) padded with pad id after stop."""
+    def _decode_loop(self, params, first_logits, cache, next_pos, key, done0=None, *, max_new, temperature, top_p, stop_tokens):
+        """While-loop decode. Returns tokens (B, max_new) padded with pad id after stop.
+
+        done0: optional (B,) bool — rows starting as done decode nothing (their slots
+        stay idle and the loop exits as soon as the live rows finish); used for inert
+        rows in batched continuations (e.g. GRPO rollouts without a stage-2 crop)."""
         B = first_logits.shape[0]
         pad_id = self.cfg.tokens.pad
         stop = jnp.asarray(stop_tokens, jnp.int32)
@@ -232,7 +236,8 @@ class Generator:
             return step + 1, done_next, tokens_buf, logits[:, 0], cache, pos + 1, key
 
         tokens_buf = jnp.full((B, max_new), pad_id, jnp.int32)
-        done0 = jnp.zeros((B,), jnp.bool_)
+        if done0 is None:
+            done0 = jnp.zeros((B,), jnp.bool_)
         state = (0, done0, tokens_buf, first_logits, cache, next_pos, key)
         _, _, tokens_buf, _, cache, _, _ = jax.lax.while_loop(cond, body, state)
         return tokens_buf, cache
@@ -240,14 +245,19 @@ class Generator:
     def _chunk_prefill(self, params, ids, chunk_lens, keep_len, pos, pixel_values, meta, cache):
         """Prefill a continuation chunk into an EXISTING cache truncated to keep_len."""
         B, S = ids.shape
+        T = cache.k[0].shape[2]
         attn_positions = keep_len[:, None] + jnp.arange(S)[None]
         attn_valid = jnp.arange(S)[None] < chunk_lens[:, None]
+        # pad tokens write to slot T -> dropped (a dynamic_update_slice would CLAMP a
+        # keep_len + S > T window back onto valid kv)
+        write_pos = jnp.where(attn_valid, attn_positions, T)
         cache = cache._replace(length=keep_len)
         logits, cache = vlm_forward(
             params, self.cfg, ids, pos,
             pixel_values=pixel_values, vision_meta=meta,
             attn_positions=attn_positions, attn_valid=attn_valid,
             cache=cache, update_cache_len=False, logit_index=chunk_lens - 1,
+            write_pos=write_pos,
             # XLA's fused attention beats the Pallas causal kernel at our prefill
             # sizes (measured on-TPU); flash_causal stays opt-in for long-context
             use_flash=False,
@@ -263,6 +273,7 @@ class Generator:
         *,
         seed: int = 0,
         return_cache: bool = False,
+        inert_mask: Optional[np.ndarray] = None,
     ):
         """Continue generation from a prior stage's cache: truncate each row's cache to
         keep_len[b] (dropping e.g. the <answer> tail), prefill only the continuation
@@ -300,8 +311,10 @@ class Generator:
             jnp.asarray(keep_len, jnp.int32) if not isinstance(keep_len, jnp.ndarray) else keep_len,
             jnp.asarray(batch.position_ids), pv, meta, cache,
         )
+        done0 = jnp.asarray(inert_mask, bool) if inert_mask is not None else None
         tokens, cache = decode(
-            self.params, first_logits, cache, jnp.asarray(batch.next_pos), jax.random.key(seed)
+            self.params, first_logits, cache, jnp.asarray(batch.next_pos), jax.random.key(seed),
+            done0,
         )
         tokens = np.asarray(tokens)
         out = []

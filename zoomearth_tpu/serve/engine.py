@@ -1,18 +1,32 @@
 """Continuous-batching serving engine: slot-based KV cache, chunked decode, per-request
 sampling. The vLLM-equivalent (SURVEY.md §2.4: paged-attention engine + scheduler) built
 TPU-first: a fixed pool of B cache slots, one jitted decode program stepping ALL active
-slots together, and per-slot insert/evict so requests join and leave mid-flight without
-recompilation or draining the batch.
+slots together, and batched pool-level prefill so requests join and leave mid-flight
+without recompilation or draining the batch.
 
-Host-side scheduler (this file, pure Python — not on the hot path): admits queued
-requests into free slots via bucketed single-request prefill, pumps K decode steps per
-tick, retires finished slots. The device never waits on the host between the K steps.
+Design notes (v2):
+- Admission and continuation share ONE device program: `_pool_prefill` chunk-prefills a
+  padded (max_slots, S) batch of token chunks DIRECTLY into the slot pool at each row's
+  keep_len (0 for fresh prompts, prompt+kept for stage-2 continuations), with
+  non-participating rows masked out. A burst of N queued requests costs one batched
+  prefill instead of N serial single-row prefills + N cache insert copies, and the first
+  token of each row is sampled on device (no per-request logits readback).
+- Prefix KV cache: `set_prefix(token_ids)` prefills the shared instruction prefix once
+  (the ~400-token ZoomEarth PREFIX+INSTRUCTION every request repeats — the reference
+  gets this from vLLM's enable_prefix_caching, vllm_grpo_trainer.py:415-417); admission
+  then copies the cached KV into each new slot and prefills only the suffix.
+- Rows not participating in a prefill write garbage KV at [length, length+S) — beyond
+  their valid window, never read (attention masks slot >= length) and overwritten by
+  their own subsequent decode steps, so no isolation copies are needed.
+
+Host-side scheduler (pure Python — not on the hot path): drains the queue each tick,
+groups admissions/continuations into batched prefills, pumps K decode steps, retires
+finished slots. The device never waits on the host between the K steps.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import itertools
 import queue
 import threading
 import time
@@ -24,11 +38,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import VLMConfig
-from ..models.decoder import KVCache, decoder_forward, logits_from_hidden
-from ..models.rope import mrope_position_ids
+from ..models.decoder import KVCache
+from ..models.rope import mrope_chunk_position_ids, mrope_position_ids
 from ..models.vit import vision_metadata
-from ..models.vlm import vlm_forward
-from ..runtime.generate import DEFAULT_LENGTH_BUCKETS, DEFAULT_PATCH_BUCKETS, bucket
+from ..models.vlm import compute_vision_embeds, vlm_forward
+from ..runtime.generate import DEFAULT_LENGTH_BUCKETS, bucket
+
+# Coarser than the batch Generator's buckets on purpose: admission batches vary in how
+# many images they carry (scheduler timing), and every distinct bucket is a fresh ViT
+# compile — pad more, compile less.
+ENGINE_PATCH_BUCKETS = (0, 4096, 12800, 24576, 32768)
 
 
 @dataclasses.dataclass
@@ -42,6 +61,15 @@ class Request:
     # hold_slot: keep the KV cache resident after completion so a continuation
     # (stage-2 zoom) can resume from it — the episode-serving pattern.
     hold_slot: bool = False
+    # Prefix caching (vLLM's enable_prefix_caching equivalent, incl. image blocks):
+    # prefix_key names the shared leading span token_ids[:prefix_len] (which may
+    # contain expanded image pads — e.g. "system + stage-1 image" shared by every
+    # question about the same LRS-GRO tile). First request computes and stores its KV;
+    # later requests with the same key prefill only the suffix and skip the prefix's
+    # ViT pass entirely. n_prefix_images of `images` belong to the prefix span.
+    prefix_key: Optional[str] = None
+    prefix_len: int = 0
+    n_prefix_images: int = 0
     enqueued_at: float = dataclasses.field(default_factory=time.time)
 
 
@@ -79,6 +107,37 @@ class _Slot:
     prompt_next_pos: int = 0  # M-RoPE position right after the prompt
 
 
+@dataclasses.dataclass
+class _PrefillRow:
+    """One host-prepared row of a batched pool prefill."""
+
+    slot: int
+    request: Request
+    chunk_ids: List[int]
+    images: List[Tuple[np.ndarray, Tuple[int, int, int]]]
+    keep_len: int  # cache entries kept below the chunk
+    start_pos: int  # M-RoPE position of the chunk's first token
+    prompt_len: int  # full logical prompt length after this prefill
+    use_prefix: Optional[str] = None  # prefix-store key whose KV seeds this slot
+    save_prefix: Optional[str] = None  # store [0, prefix_len) KV under this key after
+    prefix_next_pos: int = 0  # M-RoPE position after the prefix span (save path)
+
+
+@dataclasses.dataclass
+class _PrefixEntry:
+    """Metadata of a cached prefix span; its KV lives in the device-side prefix pool
+    at row `index` (so admission gathers any subset of prefixes in ONE program)."""
+
+    index: int
+    token_ids: List[int]
+    next_pos: int  # M-RoPE position right after the span
+    last_used: float = dataclasses.field(default_factory=time.time)
+
+    @property
+    def length(self) -> int:
+        return len(self.token_ids)
+
+
 class ServingEngine:
     """Continuous batching over `max_slots` concurrent sequences.
 
@@ -96,7 +155,7 @@ class ServingEngine:
         decode_chunk: int = 8,
         cache_dtype=None,
         length_buckets: Sequence[int] = DEFAULT_LENGTH_BUCKETS,
-        patch_buckets: Sequence[int] = DEFAULT_PATCH_BUCKETS,
+        patch_buckets: Sequence[int] = ENGINE_PATCH_BUCKETS,
         seed: int = 0,
     ):
         self.params = params
@@ -106,6 +165,10 @@ class ServingEngine:
         self.decode_chunk = decode_chunk
         self.length_buckets = tuple(b for b in length_buckets if b <= max_seq_len)
         self.patch_buckets = patch_buckets
+        # Admission debounce: when requests trickle in (the submitter thread is still
+        # encoding prompts 2..N when request 1 lands), wait this long for stragglers so
+        # a burst becomes ONE batched prefill instead of a 1-row + (N-1)-row split.
+        self.admission_debounce_s = 0.012
         dtype = cache_dtype or jnp.dtype(cfg.dtype)
         self.cache = KVCache.create(cfg.text, max_slots, max_seq_len, dtype)
         self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
@@ -118,58 +181,92 @@ class ServingEngine:
         self._results_cond = threading.Condition()
         self._key = jax.random.key(seed)
         self._stop_tokens = (cfg.tokens.eos, cfg.tokens.endoftext)
-        self._prefill_fns: Dict[Tuple[int, int], Callable] = {}
-        self._insert_fn = jax.jit(self._insert, donate_argnums=(0,))
+        self._prefill_fns: Dict[Tuple, Callable] = {}
         self._decode_fn = jax.jit(
             partial(self._decode_steps, n_steps=decode_chunk), donate_argnums=(0,)
         )
+        self.prefix_store: Dict[str, _PrefixEntry] = {}
+        self.max_prefixes = 64  # pool rows (~12 MB/row at 3B scale / 512-token cap)
+        self.prefix_cap = 512  # longest cacheable prefix span (tokens)
+        self._ppool = None  # lazily allocated (k_tuple, v_tuple) of (P, Hkv, cap, D)
+        # ViT compiled separately (keyed by patch bucket via jit shape caching) so every
+        # prompt-shape variant of the pool prefill shares one compiled vision tower
+        self._vit_fn = jax.jit(
+            lambda params, pv, meta: compute_vision_embeds(params, self.cfg, pv, meta)
+        )
         self._pump_thread: Optional[threading.Thread] = None
         self._running = False
-        self.stats = {"completed": 0, "decode_steps": 0, "prefills": 0}
+        self.stats = {"completed": 0, "decode_steps": 0, "prefills": 0,
+                      "prefill_rows": 0, "prefix_hits": 0, "prefix_saves": 0}
 
     # ------------------------------------------------------------------
     # jitted device programs
     # ------------------------------------------------------------------
 
-    def _prefill_one(self, params, ids, length, pos, pixel_values, meta, cache1):
-        """Single-request prefill into a fresh 1-slot cache -> (last logits, cache)."""
-        S = ids.shape[1]
-        attn_positions = jnp.arange(S)[None]
-        attn_valid = attn_positions < length[:, None]
-        logits, cache1 = vlm_forward(
+    def _pool_prefill(
+        self, params, ids, chunk_lens, keep_lens, pos, vision_embeds,
+        cache, cur_tokens, next_pos, new_next_pos, participate, temps, key,
+    ):
+        """Chunk-prefill a (max_slots, S) padded batch directly into the slot pool.
+
+        participate: (B,) bool — rows taking part in this prefill. Others keep their
+        length/cur_token/next_pos; the garbage KV they write beyond their length is
+        never attended and is overwritten by their own decode steps.
+        Returns (cache, cur_tokens, next_pos, first_tokens) with on-device sampling.
+        """
+        B, S = ids.shape
+        T = cache.k[0].shape[2]
+        old_len = cache.length
+        eff_keep = jnp.where(participate, keep_lens, old_len)
+        attn_positions = eff_keep[:, None] + jnp.arange(S)[None]
+        attn_valid = (jnp.arange(S)[None] < chunk_lens[:, None]) & participate[:, None]
+        # pads and non-participating rows write to slot T -> dropped by the scatter
+        write_pos = jnp.where(attn_valid, attn_positions, T)
+        cache = cache._replace(length=eff_keep)
+        logits, cache = vlm_forward(
             params, self.cfg, ids, pos,
-            pixel_values=pixel_values, vision_meta=meta,
+            vision_embeds=vision_embeds,
             attn_positions=attn_positions, attn_valid=attn_valid,
-            cache=cache1, update_cache_len=False, logit_index=length - 1,
+            cache=cache, update_cache_len=False,
+            logit_index=jnp.maximum(chunk_lens - 1, 0),
+            write_pos=write_pos,
             # XLA's fused attention beats the Pallas causal kernel at our prefill
             # sizes (measured on-TPU); flash_causal stays opt-in for long-context
             use_flash=False,
         )
-        return logits, cache1._replace(length=length)
+        new_len = jnp.where(participate, eff_keep + chunk_lens, old_len)
+        cache = cache._replace(length=new_len)
+        greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        temp = jnp.maximum(temps, 1e-4)[:, None]
+        sampled = jax.random.categorical(key, logits / temp, axis=-1).astype(jnp.int32)
+        tok = jnp.where(temps <= 0.0, greedy_tok, sampled)
+        cur_tokens = jnp.where(participate, tok, cur_tokens)
+        next_pos = jnp.where(participate, new_next_pos, next_pos)
+        return cache, cur_tokens, next_pos, tok
 
-    def _insert(self, cache: KVCache, cache1: KVCache, slot, cur_tok, nxt_pos, cur_tokens, next_pos):
-        """Copy a 1-slot prefill cache into slot `slot` of the pool."""
-        T1 = cache1.k[0].shape[2]  # (1, Hkv, T, D) layout
+    def _apply_prefixes(self, cache, ppool_k, ppool_v, entry_idx, tp, mask):
+        """Seed masked slots' [0, tp_b) cache regions from prefix-pool rows entry_idx.
+
+        One program regardless of how many distinct prefixes the admission batch uses —
+        the per-slot source row is a device-side gather from the pool."""
+        cap = min(ppool_k[0].shape[2], cache.k[0].shape[2])
+        m = (
+            mask[:, None, None, None]
+            & (jnp.arange(cap)[None, None, :, None] < tp[:, None, None, None])
+        )
         new_k = tuple(
-            jax.lax.dynamic_update_slice(k, c1k.astype(k.dtype), (slot, 0, 0, 0))
-            if T1 == k.shape[2]
-            else jax.lax.dynamic_update_slice(
-                k, jnp.pad(c1k.astype(k.dtype), ((0, 0), (0, 0), (0, k.shape[2] - T1), (0, 0))), (slot, 0, 0, 0)
+            k.at[:, :, :cap, :].set(
+                jnp.where(m, pk[entry_idx][:, :, :cap, :].astype(k.dtype), k[:, :, :cap, :])
             )
-            for k, c1k in zip(cache.k, cache1.k)
+            for k, pk in zip(cache.k, ppool_k)
         )
         new_v = tuple(
-            jax.lax.dynamic_update_slice(v, c1v.astype(v.dtype), (slot, 0, 0, 0))
-            if T1 == v.shape[2]
-            else jax.lax.dynamic_update_slice(
-                v, jnp.pad(c1v.astype(v.dtype), ((0, 0), (0, 0), (0, v.shape[2] - T1), (0, 0))), (slot, 0, 0, 0)
+            v.at[:, :, :cap, :].set(
+                jnp.where(m, pv[entry_idx][:, :, :cap, :].astype(v.dtype), v[:, :, :cap, :])
             )
-            for v, c1v in zip(cache.v, cache1.v)
+            for v, pv in zip(cache.v, ppool_v)
         )
-        length = cache.length.at[slot].set(cache1.length[0])
-        cur_tokens = cur_tokens.at[slot].set(cur_tok)
-        next_pos = next_pos.at[slot].set(nxt_pos)
-        return KVCache(new_k, new_v, length), cur_tokens, next_pos
+        return cache._replace(k=new_k, v=new_v)
 
     def _decode_steps(self, cache, cur_tokens, next_pos, active, temps, key, params, *, n_steps):
         """Run n_steps decode for all slots; inactive slots write garbage into their own
@@ -180,10 +277,14 @@ class ServingEngine:
         def body(carry, _):
             cache, cur, pos, key = carry
             pos3 = jnp.broadcast_to(pos[None, :, None], (3, B, 1))
+            old_len = cache.length
             logits, cache = vlm_forward(
                 params, self.cfg, cur[:, None], pos3,
                 attn_positions=cache.length[:, None], cache=cache,
             )
+            # held/idle rows must not grow their length (their garbage token writes
+            # would eventually clamp at the cache tail and shadow valid kv)
+            cache = cache._replace(length=jnp.where(active, cache.length, old_len))
             logits = logits[:, 0]
             key, sub = jax.random.split(key)
             greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -198,31 +299,72 @@ class ServingEngine:
         )
         return cache, cur, pos, toks.T  # (B, n_steps)
 
-    def _slice_slot(self, cache: KVCache, slot):
-        """Extract one slot's cache row as a 1-slot KVCache."""
-        return KVCache(
-            k=tuple(jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=0) for k in cache.k),
-            v=tuple(jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=0) for v in cache.v),
-            length=jax.lax.dynamic_slice_in_dim(cache.length, slot, 1, axis=0),
-        )
+    # ------------------------------------------------------------------
+    # prefix KV cache (lazy, keyed store)
+    # ------------------------------------------------------------------
 
-    def _chunk_prefill_one(self, params, ids, chunk_len, keep_len, pos, pixel_values, meta, cache1):
-        """Prefill a continuation chunk into a 1-slot cache truncated at keep_len."""
-        S = ids.shape[1]
-        attn_positions = keep_len[:, None] + jnp.arange(S)[None]
-        attn_valid = jnp.arange(S)[None] < chunk_len[:, None]
-        cache1 = cache1._replace(length=keep_len)
-        logits, cache1 = vlm_forward(
-            params, self.cfg, ids, pos,
-            pixel_values=pixel_values, vision_meta=meta,
-            attn_positions=attn_positions, attn_valid=attn_valid,
-            cache=cache1, update_cache_len=False, logit_index=chunk_len - 1,
+    def _harvest_prefix(self, cache, ppool_k, ppool_v, slot, idx, Tp: int):
+        """Copy slot `slot`'s [0, Tp) KV into prefix-pool row idx (jitted per Tp)."""
+        cap = ppool_k[0].shape[2]
+        n = min(Tp, cap)
+        new_k = tuple(
+            jax.lax.dynamic_update_slice(
+                pk,
+                jax.lax.dynamic_slice(k, (slot, 0, 0, 0), (1, k.shape[1], n, k.shape[3])).astype(pk.dtype),
+                (idx, 0, 0, 0),
+            )
+            for k, pk in zip(cache.k, ppool_k)
         )
-        return logits, cache1._replace(length=keep_len + chunk_len)
+        new_v = tuple(
+            jax.lax.dynamic_update_slice(
+                pv,
+                jax.lax.dynamic_slice(v, (slot, 0, 0, 0), (1, v.shape[1], n, v.shape[3])).astype(pv.dtype),
+                (idx, 0, 0, 0),
+            )
+            for v, pv in zip(cache.v, ppool_v)
+        )
+        return new_k, new_v
+
+    def _ensure_ppool(self):
+        if self._ppool is None:
+            tc = self.cfg.text
+            dtype = self.cache.k[0].dtype
+            shape = (self.max_prefixes, tc.num_key_value_heads, self.prefix_cap, tc.head_dim)
+            self._ppool = (
+                tuple(jnp.zeros(shape, dtype) for _ in self.cache.k),
+                tuple(jnp.zeros(shape, dtype) for _ in self.cache.v),
+            )
+
+    def _store_prefix(self, key: str, slot: int, token_ids: List[int], next_pos: int):
+        Tp = len(token_ids)
+        if Tp > self.prefix_cap:
+            return
+        self._ensure_ppool()
+        if len(self.prefix_store) >= self.max_prefixes:
+            lru = min(self.prefix_store, key=lambda k: self.prefix_store[k].last_used)
+            idx = self.prefix_store.pop(lru).index
+        else:
+            idx = len(self.prefix_store)
+        fn_key = ("harvest_prefix", Tp)
+        if fn_key not in self._prefill_fns:
+            self._prefill_fns[fn_key] = jax.jit(
+                partial(self._harvest_prefix, Tp=Tp), donate_argnums=(1, 2)
+            )
+        self._ppool = self._prefill_fns[fn_key](self.cache, self._ppool[0], self._ppool[1], slot, idx)
+        self.prefix_store[key] = _PrefixEntry(index=idx, token_ids=list(token_ids), next_pos=next_pos)
+        self.stats["prefix_saves"] += 1
 
     # ------------------------------------------------------------------
     # host-side scheduler
     # ------------------------------------------------------------------
+
+    def submit(self, request: Request):
+        if len(request.token_ids) + request.max_tokens > self.max_seq_len:
+            raise ValueError(
+                f"request {request.request_id}: prompt ({len(request.token_ids)}) + "
+                f"max_tokens ({request.max_tokens}) exceeds max_seq_len ({self.max_seq_len})"
+            )
+        self.queue.put(request)
 
     def submit_continuation(self, continuation: Continuation):
         """Queue a continuation of a hold_slot request (the stage-2 zoom pattern)."""
@@ -234,8 +376,39 @@ class ServingEngine:
         if slot_idx is not None:
             self.slots[slot_idx] = _Slot()
 
-    def _admit_continuation(self, c: Continuation):
-        cfg = self.cfg
+    def _prep_request(self, req: Request, slot_idx: int) -> _PrefillRow:
+        if req.prefix_key and req.prefix_len:
+            prefix_ids = list(req.token_ids[: req.prefix_len])
+            entry = self.prefix_store.get(req.prefix_key)
+            if entry is not None and entry.token_ids == prefix_ids:
+                entry.last_used = time.time()
+                self.stats["prefix_hits"] += 1
+                return _PrefillRow(
+                    slot=slot_idx, request=req,
+                    chunk_ids=list(req.token_ids[req.prefix_len:]),
+                    images=req.images[req.n_prefix_images:],
+                    keep_len=entry.length, start_pos=entry.next_pos,
+                    prompt_len=len(req.token_ids), use_prefix=req.prefix_key,
+                )
+            # miss: full prefill now, harvest the prefix KV for later requests
+            prefix_grids = [g for _, g in req.images[: req.n_prefix_images]]
+            _, prefix_next = mrope_position_ids(
+                np.asarray(prefix_ids, np.int32), prefix_grids,
+                image_pad_id=self.cfg.tokens.image_pad,
+                merge_size=self.cfg.vision.spatial_merge_size,
+            )
+            return _PrefillRow(
+                slot=slot_idx, request=req, chunk_ids=list(req.token_ids),
+                images=req.images, keep_len=0, start_pos=0,
+                prompt_len=len(req.token_ids), save_prefix=req.prefix_key,
+                prefix_next_pos=int(prefix_next),
+            )
+        return _PrefillRow(
+            slot=slot_idx, request=req, chunk_ids=list(req.token_ids), images=req.images,
+            keep_len=0, start_pos=0, prompt_len=len(req.token_ids),
+        )
+
+    def _prep_continuation(self, c: Continuation) -> _PrefillRow:
         slot_idx = self.held.pop(c.parent_request_id)
         slot = self.slots[slot_idx]
         # cache holds prompt + all generated EXCEPT the last produced token
@@ -246,94 +419,57 @@ class ServingEngine:
         kept_cached = min(kept, in_cache)
         keep_len = slot.prompt_len + kept_cached
         start_pos = slot.prompt_next_pos + kept_cached
-
-        from ..models.rope import mrope_chunk_position_ids
-
-        S = bucket(len(chunk_ids), self.length_buckets)
-        padded = np.full((1, S), cfg.tokens.pad, np.int32)
-        padded[0, : len(chunk_ids)] = chunk_ids
-        grids = [g for _, g in c.images]
-        pos = np.ones((3, 1, S), np.int32)
-        p, nxt = mrope_chunk_position_ids(
-            np.asarray(chunk_ids), grids, start_pos,
-            image_pad_id=cfg.tokens.image_pad, merge_size=cfg.vision.spatial_merge_size,
-        )
-        pos[:, 0, : len(chunk_ids)] = p
-        pv = meta_dev = None
-        n_patches = 0
-        if c.images:
-            pv = np.concatenate([x for x, _ in c.images], axis=0)
-            n_patches = bucket(pv.shape[0], self.patch_buckets)
-            meta = vision_metadata(grids, cfg.vision, pad_to=n_patches)
-            if n_patches > pv.shape[0]:
-                pv = np.concatenate([pv, np.zeros((n_patches - pv.shape[0], pv.shape[1]), pv.dtype)])
-            meta_dev = {
-                "perm": jnp.asarray(meta.perm),
-                "inv_perm_merged": jnp.asarray(meta.inv_perm_merged),
-                "seg_window": jnp.asarray(meta.seg_window),
-                "seg_full": jnp.asarray(meta.seg_full),
-                "pos_ids": jnp.asarray(meta.pos_ids),
-            }
-            pv = jnp.asarray(pv)
-        key = ("cont", S, n_patches)
-        if key not in self._prefill_fns:
-            self._prefill_fns[key] = jax.jit(self._chunk_prefill_one)
-        if "slice" not in self._prefill_fns:
-            self._prefill_fns["slice"] = jax.jit(self._slice_slot)
-        cache1 = self._prefill_fns["slice"](self.cache, slot_idx)
-        logits, cache1 = self._prefill_fns[key](
-            self.params, jnp.asarray(padded), jnp.asarray([len(chunk_ids)], jnp.int32),
-            jnp.asarray([keep_len], jnp.int32), jnp.asarray(pos), pv, meta_dev, cache1,
-        )
-        self.stats["prefills"] += 1
-        if c.temperature <= 0.0:
-            tok = int(np.argmax(np.asarray(logits[0])))
-        else:
-            self._key, sub = jax.random.split(self._key)
-            tok = int(jax.random.categorical(sub, logits[0] / max(c.temperature, 1e-4)))
-        self.cache, self.cur_tokens, self.next_pos = self._insert_fn(
-            self.cache, cache1, slot_idx, tok, int(nxt), self.cur_tokens, self.next_pos
-        )
         req = Request(
             request_id=c.request_id, token_ids=chunk_ids, images=c.images,
             max_tokens=c.max_tokens, temperature=c.temperature, hold_slot=c.hold_slot,
         )
-        slot.request = req
-        slot.generated = [tok]
-        slot.remaining = c.max_tokens - 1
-        slot.held = False
-        slot.prompt_len = keep_len + len(chunk_ids)
-        slot.prompt_next_pos = int(nxt)
-        self.active[slot_idx] = True
-        if tok in self._stop_tokens or slot.remaining <= 0:
-            self._finish(slot_idx, "stop" if tok in self._stop_tokens else "length")
-
-    def submit(self, request: Request):
-        if len(request.token_ids) + request.max_tokens > self.max_seq_len:
-            raise ValueError(
-                f"request {request.request_id}: prompt ({len(request.token_ids)}) + "
-                f"max_tokens ({request.max_tokens}) exceeds max_seq_len ({self.max_seq_len})"
-            )
-        self.queue.put(request)
-
-    def _admit(self, req: Request, slot_idx: int):
-        cfg = self.cfg
-        ids = np.asarray(req.token_ids, np.int32)
-        S = bucket(len(ids), self.length_buckets)
-        padded = np.full((1, S), cfg.tokens.pad, np.int32)
-        padded[0, : len(ids)] = ids
-        grids = [g for _, g in req.images]
-        pos, nxt = mrope_position_ids(
-            padded[0], grids, image_pad_id=cfg.tokens.image_pad,
-            merge_size=cfg.vision.spatial_merge_size,
-            attention_mask=(padded[0] != cfg.tokens.pad).astype(np.int32),
+        return _PrefillRow(
+            slot=slot_idx, request=req, chunk_ids=chunk_ids, images=c.images,
+            keep_len=keep_len, start_pos=start_pos,
+            prompt_len=keep_len + len(chunk_ids),
         )
-        pv = meta_dev = None
-        n_patches = 0
-        if req.images:
-            pv = np.concatenate([p for p, _ in req.images], axis=0)
+
+    def _run_prefill_batch(self, rows: List[_PrefillRow]):
+        """One batched pool prefill for up to max_slots prepared rows."""
+        cfg = self.cfg
+        B = self.max_slots
+        rows = sorted(rows, key=lambda r: r.slot)  # vision embeds splice in slot order
+        S = bucket(max(len(r.chunk_ids) for r in rows), self.length_buckets)
+        ids = np.full((B, S), cfg.tokens.pad, np.int32)
+        chunk_lens = np.zeros((B,), np.int32)
+        keep_lens = np.zeros((B,), np.int32)
+        new_next = np.zeros((B,), np.int32)
+        pos = np.ones((3, B, S), np.int32)
+        participate = np.zeros((B,), bool)
+        temps = np.zeros((B,), np.float32)
+        all_pv, all_grids = [], []
+        prefix_rows: Dict[str, List[int]] = {}
+        for r in rows:
+            b = r.slot
+            n = len(r.chunk_ids)
+            ids[b, :n] = r.chunk_ids
+            chunk_lens[b] = n
+            keep_lens[b] = r.keep_len
+            participate[b] = True
+            temps[b] = r.request.temperature
+            if r.use_prefix:
+                prefix_rows.setdefault(r.use_prefix, []).append(b)
+            grids = [g for _, g in r.images]
+            p, nxt = mrope_chunk_position_ids(
+                np.asarray(r.chunk_ids), grids, r.start_pos,
+                image_pad_id=cfg.tokens.image_pad, merge_size=cfg.vision.spatial_merge_size,
+            )
+            pos[:, b, :n] = p
+            new_next[b] = nxt
+            all_pv.extend(x for x, _ in r.images)
+            all_grids.extend(grids)
+
+        vision_embeds = None
+        n_emb = 0
+        if all_pv:
+            pv = np.concatenate(all_pv, axis=0)
             n_patches = bucket(pv.shape[0], self.patch_buckets)
-            meta = vision_metadata(grids, cfg.vision, pad_to=n_patches)
+            meta = vision_metadata(all_grids, cfg.vision, pad_to=n_patches)
             if n_patches > pv.shape[0]:
                 pv = np.concatenate([pv, np.zeros((n_patches - pv.shape[0], pv.shape[1]), pv.dtype)])
             meta_dev = {
@@ -343,36 +479,61 @@ class ServingEngine:
                 "seg_full": jnp.asarray(meta.seg_full),
                 "pos_ids": jnp.asarray(meta.pos_ids),
             }
-            pv = jnp.asarray(pv)
+            # ViT runs as its own program (one compile per patch bucket, shared by all
+            # prompt-shape variants of the pool prefill)
+            vision_embeds = self._vit_fn(self.params, jnp.asarray(pv), meta_dev)
+            n_emb = vision_embeds.shape[0]
 
-        pf_key = (S, n_patches)
-        if pf_key not in self._prefill_fns:
-            self._prefill_fns[pf_key] = jax.jit(self._prefill_one)
-        cache1 = KVCache.create(cfg.text, 1, S, self.cache.k[0].dtype)
-        logits, cache1 = self._prefill_fns[pf_key](
-            self.params, jnp.asarray(padded), jnp.asarray([len(ids)], jnp.int32),
-            jnp.asarray(pos[:, None, :]), pv, meta_dev, cache1,
+        if prefix_rows:
+            if "apply_prefixes" not in self._prefill_fns:
+                self._prefill_fns["apply_prefixes"] = jax.jit(
+                    self._apply_prefixes, donate_argnums=(0,)
+                )
+            pmask = np.zeros((B,), bool)
+            entry_idx = np.zeros((B,), np.int32)
+            tp = np.zeros((B,), np.int32)
+            for pkey, slots_list in prefix_rows.items():
+                entry = self.prefix_store[pkey]
+                for b in slots_list:
+                    pmask[b] = True
+                    entry_idx[b] = entry.index
+                    tp[b] = entry.length
+            self.cache = self._prefill_fns["apply_prefixes"](
+                self.cache, self._ppool[0], self._ppool[1],
+                jnp.asarray(entry_idx), jnp.asarray(tp), jnp.asarray(pmask),
+            )
+
+        key = ("pool", S, n_emb)
+        if key not in self._prefill_fns:
+            self._prefill_fns[key] = jax.jit(self._pool_prefill, donate_argnums=(6,))
+        self._key, sub = jax.random.split(self._key)
+        self.cache, self.cur_tokens, self.next_pos, tok = self._prefill_fns[key](
+            self.params, jnp.asarray(ids), jnp.asarray(chunk_lens), jnp.asarray(keep_lens),
+            jnp.asarray(pos), vision_embeds, self.cache, self.cur_tokens, self.next_pos,
+            jnp.asarray(new_next), jnp.asarray(participate), jnp.asarray(temps), sub,
         )
         self.stats["prefills"] += 1
-        # first token: sampled host-side from the prefill logits
-        if req.temperature <= 0.0:
-            tok = int(np.argmax(np.asarray(logits[0])))
-        else:
-            self._key, sub = jax.random.split(self._key)
-            tok = int(jax.random.categorical(sub, logits[0] / max(req.temperature, 1e-4)))
-        self.cache, self.cur_tokens, self.next_pos = self._insert_fn(
-            self.cache, cache1, slot_idx, tok, nxt, self.cur_tokens, self.next_pos
-        )
-        slot = self.slots[slot_idx]
-        slot.request = req
-        slot.generated = [tok]
-        slot.remaining = req.max_tokens - 1
-        slot.held = False
-        slot.prompt_len = len(ids)
-        slot.prompt_next_pos = int(nxt)
-        self.active[slot_idx] = True
-        if tok in self._stop_tokens or slot.remaining <= 0:
-            self._finish(slot_idx, "stop" if tok in self._stop_tokens else "length")
+        self.stats["prefill_rows"] += len(rows)
+        for r in rows:
+            if r.save_prefix:
+                self._store_prefix(
+                    r.save_prefix, r.slot,
+                    list(r.request.token_ids[: r.request.prefix_len]), r.prefix_next_pos,
+                )
+        first = np.asarray(tok)  # one small readback per BATCH, not per request
+        for r in rows:
+            b = r.slot
+            t = int(first[b])
+            slot = self.slots[b]
+            slot.request = r.request
+            slot.generated = [t]
+            slot.remaining = r.request.max_tokens - 1
+            slot.held = False
+            slot.prompt_len = r.prompt_len
+            slot.prompt_next_pos = int(new_next[b])
+            self.active[b] = True
+            if t in self._stop_tokens or slot.remaining <= 0:
+                self._finish(b, "stop" if t in self._stop_tokens else "length")
 
     def _finish(self, slot_idx: int, reason: str):
         slot = self.slots[slot_idx]
@@ -398,27 +559,38 @@ class ServingEngine:
             self.slots[slot_idx] = _Slot()
 
     def step(self):
-        """One scheduler tick: admit from queue, pump one decode chunk, retire."""
+        """One scheduler tick: drain the queue into batched prefills, pump one decode
+        chunk, retire finished slots."""
         deferred = []
+        rows: List[_PrefillRow] = []
+        free = [i for i in range(self.max_slots) if not self.active[i] and not self.slots[i].held]
+        taken = set()
+        debounced = False
         while True:
-            free = [i for i in range(self.max_slots)
-                    if not self.active[i] and not self.slots[i].held]
             try:
                 item = self.queue.get_nowait()
             except queue.Empty:
+                if rows and not debounced and self.admission_debounce_s > 0:
+                    debounced = True
+                    time.sleep(self.admission_debounce_s)
+                    continue
                 break
             if isinstance(item, Continuation):
                 if item.parent_request_id in self.held:
-                    self._admit_continuation(item)
+                    rows.append(self._prep_continuation(item))
                 else:
                     deferred.append(item)  # parent not finished/held yet
-            elif free:
-                self._admit(item, free[0])
             else:
-                deferred.append(item)
-                break
+                slot_idx = next((i for i in free if i not in taken), None)
+                if slot_idx is None:
+                    deferred.append(item)
+                    break
+                taken.add(slot_idx)
+                rows.append(self._prep_request(item, slot_idx))
         for item in deferred:
             self.queue.put(item)
+        if rows:
+            self._run_prefill_batch(rows)
         if not self.active.any():
             return False
         temps = np.array(

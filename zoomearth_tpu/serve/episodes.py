@@ -10,7 +10,6 @@ level — no wave barriers.
 
 from __future__ import annotations
 
-import dataclasses
 import threading
 from typing import Callable, List, Optional, Sequence
 
@@ -33,8 +32,16 @@ def run_episodes_served(
     stage2_max_tokens: int = None,
     temperature: float = 0.01,
     prompt_fn: Optional[Callable[[str], str]] = None,
+    image_keys: Optional[Sequence[str]] = None,
+    prefix_str: Optional[str] = None,
 ) -> List[EpisodeResult]:
     """Run N two-stage episodes through the engine, fully pipelined.
+
+    image_keys: stable per-image identifiers (e.g. file names). When given, the shared
+    leading span "system prefix + stage-1 image" is prefix-cached in the engine keyed by
+    image — repeat questions about the same image (LRS-GRO asks ~10.7 per image) skip
+    that span's ViT pass and prefill only "question + instruction". prefix_str overrides
+    the leading span (default PT.PREFIX, which ends at the stage-1 image).
 
     The engine pump thread must be running (engine.start()) or the caller must tick
     engine.step() concurrently."""
@@ -98,9 +105,22 @@ def run_episodes_served(
     collectors = []
     for i in range(n):
         ids, prepped = processor.encode(prompts[i], [resized[i]])
+        prefix_key = None
+        prefix_len = 0
+        n_prefix_images = 0
+        if image_keys is not None:
+            pstr = prefix_str if prefix_str is not None else PT.PREFIX
+            pids = tk.encode(pstr)
+            n_prefix_images = pids.count(cfg.tokens.image_pad)
+            grids = [g for _, g in prepped]
+            pids = processor.expand_image_pads(pids, grids[:n_prefix_images])
+            if list(ids[: len(pids)]) == list(pids):
+                prefix_len = len(pids)
+                prefix_key = f"{image_keys[i]}|{grids[:n_prefix_images]}"
         engine.submit(Request(
             request_id=f"ep{i}-s1", token_ids=ids, images=prepped,
             max_tokens=max_new_tokens, temperature=temperature, hold_slot=True,
+            prefix_key=prefix_key, prefix_len=prefix_len, n_prefix_images=n_prefix_images,
         ))
 
         def collector(i=i):

@@ -68,6 +68,19 @@ class GRPOConfig:
     stage1_image_size: int = 512  # customized resize (infer/RL variant)
     mask_image_tokens: bool = False  # True diverges from reference (see module doc)
     reward_weights: Optional[Sequence[float]] = None
+    # Advantage normalization: the default VLMGRPOTrainer mean-centers only
+    # (grpo_trainer.py:733-734); the vLLM trainer also divides by the group std
+    # (vllm_grpo_trainer.py:~705-712). True selects the vLLM variant.
+    scale_rewards: bool = False
+    # Freeze the vision tower: its updates (gradient AND weight-decay) are zeroed
+    # (reference grpo_trainer.py:277 freeze_vision_modules).
+    freeze_vision_modules: bool = False
+    # TR-DPO reference sync (reference trainer/grpo_config.py sync_ref_model /
+    # ref_model_mixup_alpha / ref_model_sync_steps): every sync steps,
+    # ref <- alpha * policy + (1 - alpha) * ref.
+    sync_ref_model: bool = False
+    ref_model_mixup_alpha: float = 0.6
+    ref_model_sync_steps: int = 512
     # Stage-2 rollouts continue from the stage-1 KV cache (prefilling only the crop's
     # vision tokens) AND the training sequence keeps the GENERATED stage-1 tokens
     # verbatim. The reference instead re-tokenizes the stitched text (decode->strip->
@@ -248,13 +261,24 @@ class GRPOTrainer:
         )
         self._logps_fn = jax.jit(per_token_logps, static_argnames=("cfg",))
         self._update = jax.jit(self._apply_updates, donate_argnums=(0, 1))
+        self._sync_ref_fn = jax.jit(self._sync_ref, donate_argnums=(0,))
         self._buffered: Optional[RolloutBatch] = None
         self._step_count = 0
         self.metrics_history: List[Dict] = []
 
     def _apply_updates(self, params, opt_state, grads):
         updates, opt_state = self.tx.update(grads, opt_state, params)
+        if self.grpo.freeze_vision_modules:
+            # zero the UPDATES (not just grads): adamw's weight decay would otherwise
+            # still move frozen params
+            updates = dict(updates)
+            updates["vision"] = jax.tree.map(jnp.zeros_like, updates["vision"])
         return optax.apply_updates(params, updates), opt_state
+
+    def _sync_ref(self, ref_params, params):
+        """TR-DPO mixup: ref <- alpha * policy + (1 - alpha) * ref."""
+        a = self.grpo.ref_model_mixup_alpha
+        return jax.tree.map(lambda r, p: (a * p.astype(jnp.float32) + (1 - a) * r.astype(jnp.float32)).astype(r.dtype), ref_params, params)
 
     # ------------------------------------------------------------------
     # Rollout
@@ -275,11 +299,24 @@ class GRPOTrainer:
         else:
             image_loader = self.image_loader
 
-        full_images = [image_loader(s) for s in rep]
+        # imageless samples (legacy text GRPO, reference grpo.py:118-142) take the
+        # text-only prompt and skip every vision step
+        full_images = [
+            image_loader(s) if (s.image_path or s.image_name) else None for s in rep
+        ]
         # stage-1 inputs: customized resize (max 512, min side 30) customized_funcs.py:76-85
-        stage1_images = [resize_image(im, self.grpo.stage1_image_size, min_side=30) for im in full_images]
-        prompts_text = [PT.rl_prompt(s.question) for s in rep]
-        enc1 = [self.processor.encode(t, [im]) for t, im in zip(prompts_text, stage1_images)]
+        stage1_images = [
+            resize_image(im, self.grpo.stage1_image_size, min_side=30) if im is not None else None
+            for im in full_images
+        ]
+        prompts_text = [
+            PT.rl_prompt(s.question) if im is not None else PT.text_rl_prompt(s.question)
+            for s, im in zip(rep, stage1_images)
+        ]
+        enc1 = [
+            self.processor.encode(t, [im] if im is not None else [])
+            for t, im in zip(prompts_text, stage1_images)
+        ]
         prompt1_lens = [len(ids) for ids, _ in enc1]
         batch1 = prepare_batch(
             cfg, [ids for ids, _ in enc1], [imgs for _, imgs in enc1],
@@ -308,7 +345,7 @@ class GRPOTrainer:
         s2_chunks: List[List[int]] = []
         s2_chunk_imgs: List[List] = []
         for i, (s, c1) in enumerate(zip(rep, completions1)):
-            if not s.bbox:
+            if not s.bbox or full_images[i] is None:
                 continue
             boxes = extract_bboxes_float(c1)
             w0, h0 = stage1_images[i].size
@@ -358,8 +395,11 @@ class GRPOTrainer:
                 cfg, full_chunks, full_imgs, starts,
                 length_buckets=self.length_buckets, patch_buckets=self.patch_buckets,
             )
+            inert = np.ones((len(rep),), bool)
+            inert[s2_idx] = False  # rows without a crop decode NOTHING (start done)
             out2_all = self.generator.continue_generate(
-                stage1_cache, bc, np.asarray(keep_len, np.int32), gen2, seed=seed + 1
+                stage1_cache, bc, np.asarray(keep_len, np.int32), gen2, seed=seed + 1,
+                inert_mask=inert,
             )
             for j, i in enumerate(s2_idx):
                 out2_tokens_by_row[i] = out2_all[i]
@@ -415,16 +455,20 @@ class GRPOTrainer:
         )
         all_pv = [pv for imgs in train_imgs for pv, _ in imgs]
         all_grids = [g for gs in grids_per_seq for g in gs]
-        pv = np.concatenate(all_pv, axis=0)
-        P = bucket(pv.shape[0], self.patch_buckets)
-        meta = vision_metadata(all_grids, cfg.vision, pad_to=P)
-        if P > pv.shape[0]:
-            pv = np.concatenate([pv, np.zeros((P - pv.shape[0], pv.shape[1]), pv.dtype)])
-        vision_meta = {
-            "perm": meta.perm, "inv_perm_merged": meta.inv_perm_merged,
-            "seg_window": meta.seg_window, "seg_full": meta.seg_full,
-            "pos_ids": meta.pos_ids,
-        }
+        if all_pv:
+            pv = np.concatenate(all_pv, axis=0)
+            P = bucket(pv.shape[0], self.patch_buckets)
+            meta = vision_metadata(all_grids, cfg.vision, pad_to=P)
+            if P > pv.shape[0]:
+                pv = np.concatenate([pv, np.zeros((P - pv.shape[0], pv.shape[1]), pv.dtype)])
+            vision_meta = {
+                "perm": meta.perm, "inv_perm_merged": meta.inv_perm_merged,
+                "seg_window": meta.seg_window, "seg_full": meta.seg_full,
+                "pos_ids": meta.pos_ids,
+            }
+        else:  # all-text batch
+            pv = None
+            vision_meta = None
 
         # ---- rewards + grouped advantages ----
         reward_kwargs: Dict[str, list] = {
@@ -446,13 +490,16 @@ class GRPOTrainer:
         rewards = rewards_per_func @ weights
         grouped = rewards.reshape(-1, G)
         advantages = (rewards - np.repeat(grouped.mean(1), G)).astype(np.float32)
+        if self.grpo.scale_rewards:
+            # vLLM-trainer variant: divide by group std (vllm_grpo_trainer.py:~705-712)
+            advantages = advantages / (np.repeat(grouped.std(1), G) + 1e-4)
 
         # ---- old / ref logps ----
         jbatch = dict(
             input_ids=jnp.asarray(input_ids),
             position_ids=jnp.asarray(pos),
-            pixel_values=jnp.asarray(pv),
-            vision_meta={k: jnp.asarray(v) for k, v in vision_meta.items()},
+            pixel_values=jnp.asarray(pv) if pv is not None else None,
+            vision_meta={k: jnp.asarray(v) for k, v in vision_meta.items()} if vision_meta else None,
         )
         old_logps = None
         if self.grpo.num_iterations > 1:
@@ -489,14 +536,20 @@ class GRPOTrainer:
             input_ids=jnp.asarray(rb.input_ids),
             completion_mask=jnp.asarray(rb.completion_mask),
             position_ids=jnp.asarray(rb.position_ids),
-            pixel_values=jnp.asarray(rb.pixel_values),
-            vision_meta={k: jnp.asarray(v) for k, v in rb.vision_meta.items()},
+            pixel_values=jnp.asarray(rb.pixel_values) if rb.pixel_values is not None else None,
+            vision_meta={k: jnp.asarray(v) for k, v in rb.vision_meta.items()} if rb.vision_meta else None,
             advantages=jnp.asarray(rb.advantages),
             old_logps=jnp.asarray(rb.old_logps) if rb.old_logps is not None else None,
             ref_logps=jnp.asarray(rb.ref_logps) if rb.ref_logps is not None else None,
         )
         (loss, aux), grads = self._loss_grad(self.params, self.cfg, batch)
         self.params, self.opt_state = self._update(self.params, self.opt_state, grads)
+        if (
+            self.grpo.sync_ref_model
+            and self.ref_params is not None
+            and (self._step_count + 1) % self.grpo.ref_model_sync_steps == 0
+        ):
+            self.ref_params = self._sync_ref_fn(self.ref_params, self.params)
         metrics = {
             "loss": float(loss),
             "reward": float(rb.rewards_per_func.sum(1).mean()),
