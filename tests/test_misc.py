@@ -122,3 +122,21 @@ def test_concurrent_client_against_live_server():
         assert all(isinstance(r["stage1"], str) for r in recs)
     finally:
         srv.stop()
+
+
+def test_metrics_logger_tensorboard(tmp_path):
+    """jsonl + tensorboard sinks both receive scalars (wandb degrades to no-op)."""
+    import json
+
+    from zoomearth_tpu.utils.metrics_sinks import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path), report_to=("jsonl", "tensorboard", "wandb"))
+    lg.log({"loss": 1.5, "note": "text-skipped"}, step=1)
+    lg.log({"loss": 1.2}, step=2)
+    lg.close()
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert [l["loss"] for l in lines] == [1.5, 1.2]
+    import os
+
+    tb_files = os.listdir(tmp_path / "tb")
+    assert any("tfevents" in f for f in tb_files)

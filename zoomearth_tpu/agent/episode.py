@@ -30,6 +30,7 @@ class EpisodeResult:
     answer2: Optional[str]
     bbox: Optional[list]  # full-res coords of the first predicted bbox
     error: bool  # True = no bbox produced (stage 2 skipped) — reference marks these error rows
+    latency_s: Optional[float] = None  # submit -> final answer (episode-serving path)
 
     @property
     def answer(self) -> Optional[str]:

@@ -44,6 +44,8 @@ def main(argv=None):
     p.add_argument("--logging_steps", type=int, default=1)
     p.add_argument("--max_samples", type=int, default=2400)  # reference select(range(2400))
     p.add_argument("--resume_from_checkpoint", action="store_true")
+    p.add_argument("--report_to", nargs="+", default=["jsonl"],
+                   help="metric sinks: jsonl, tensorboard, wandb (reference train_grpo.sh:58)")
     p.add_argument("--seed", type=int, default=42)
     from .config import parse_with_yaml
 
@@ -83,12 +85,14 @@ def main(argv=None):
                 trainer.opt_state = opt_state
             start_step = meta["step"]
 
-    metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
     os.makedirs(args.output_dir, exist_ok=True)
+    from ..utils.metrics_sinks import MetricsLogger
+
+    logger = MetricsLogger(args.output_dir, report_to=tuple(set(args.report_to) | {"jsonl"}))
     global_step = 0
     import random as _random
 
-    with open(metrics_path, "a") as mf:
+    try:
         for epoch in range(args.num_train_epochs):
             # per-epoch shuffle, seeded for deterministic resume (the reference's
             # RepeatRandomSampler shuffles prompt order, grpo_trainer.py:897-911)
@@ -102,11 +106,12 @@ def main(argv=None):
                 if global_step % args.logging_steps == 0:
                     rec = {"step": global_step, "epoch": epoch, **m}
                     print(json.dumps(rec))
-                    mf.write(json.dumps(rec) + "\n")
-                    mf.flush()
+                    logger.log({"epoch": epoch, **m}, global_step)
                 if global_step % args.save_steps == 0:
                     ckpt.save(global_step, trainer.params, trainer.opt_state,
                               extra={"epoch": epoch})
+    finally:
+        logger.close()
 
 
 if __name__ == "__main__":

@@ -33,6 +33,8 @@ def main(argv=None):
     p.add_argument("--max_pixels", type=int, default=64 * 64 * 28 * 28)  # train_sft.sh:22
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--resume_from_checkpoint", action="store_true")
+    p.add_argument("--report_to", nargs="+", default=["jsonl"],
+                   help="metric sinks: jsonl, tensorboard, wandb (reference SFT.py:333-339)")
     p.add_argument("--fsdp", type=int, default=1, help="fsdp mesh axis size")
     p.add_argument("--tensor", type=int, default=1, help="tensor mesh axis size")
     from .config import parse_with_yaml
@@ -52,6 +54,7 @@ def main(argv=None):
         batch_size=args.batch_size, save_steps=args.save_steps, log_steps=args.log_steps,
         max_pixels=args.max_pixels, seed=args.seed,
         resume_from_checkpoint=args.resume_from_checkpoint,
+        report_to=tuple(set(args.report_to) | {"jsonl"}),
     )
     train_sft(params, cfg, sft_cfg, loop_cfg, dataset, processor, mesh=mesh)
 

@@ -211,6 +211,104 @@ class VLMConfig:
         return VLMConfig(vision=vision, text=text, tokens=tokens)
 
 
+@dataclasses.dataclass(frozen=True)
+class InternVitConfig:
+    """InternViT tower (HF transformers InternVLVisionConfig semantics): plain ViT with
+    CLS token + learned absolute position embeddings, pre-LN blocks with layer-scale,
+    full (unwindowed) attention, pixel-shuffle 2x downsample + 2-layer MLP projector
+    (reference family: vlm_modules/internvl_module.py; modeling via HF internvl)."""
+
+    depth: int = 24
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_heads: int = 16
+    in_channels: int = 3
+    image_size: int = 448
+    patch_size: int = 14
+    layer_norm_eps: float = 1e-6
+    use_qk_norm: bool = False
+    layer_scale_init: float = 0.1
+    norm_type: str = "layer_norm"  # "layer_norm" | "rms_norm"
+    attention_bias: bool = False
+    hidden_act: str = "gelu"
+    downsample_ratio: float = 0.5
+    projector_hidden_act: str = "gelu"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def patches_per_side(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def patch_dim(self) -> int:
+        return self.in_channels * self.patch_size**2
+
+    @property
+    def num_image_token(self) -> int:
+        """LLM tokens per tile after pixel-shuffle downsampling."""
+        side = int(self.patches_per_side * self.downsample_ratio)
+        return side * side
+
+
+@dataclasses.dataclass(frozen=True)
+class InternVLTokens:
+    """InternVL special ids (HF InternVLConfig defaults for the Qwen2-based family)."""
+
+    image_context: int = 151667  # <IMG_CONTEXT> — the expanded placeholder
+    img_start: int = 151665  # <img>
+    img_end: int = 151666  # </img>
+    im_start: int = 151644
+    im_end: int = 151645
+    endoftext: int = 151643
+    eos: int = 151645
+
+    @property
+    def pad(self) -> int:
+        return self.endoftext
+
+    @property
+    def image_pad(self) -> int:
+        # generation runtime alias: the token whose embeddings get replaced
+        return self.image_context
+
+
+@dataclasses.dataclass(frozen=True)
+class InternVLVLMConfig:
+    """Second VLM family: InternViT vision + Qwen2-style decoder (plain 1D RoPE —
+    positions are sequential even across image tokens, unlike Qwen-VL's M-RoPE)."""
+
+    vision: InternVitConfig = dataclasses.field(default_factory=InternVitConfig)
+    text: TextConfig = dataclasses.field(default_factory=TextConfig)
+    tokens: InternVLTokens = dataclasses.field(default_factory=InternVLTokens)
+    dtype: str = "bfloat16"
+
+    @staticmethod
+    def tiny(vocab_size: int = 512) -> "InternVLVLMConfig":
+        vision = InternVitConfig(
+            depth=2, hidden_size=32, intermediate_size=64, num_heads=4,
+            image_size=28, patch_size=14, use_qk_norm=True,
+        )
+        text = TextConfig(
+            vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, tie_word_embeddings=True,
+            mrope_section=(8,),  # single section == plain 1D RoPE
+        )
+        tokens = InternVLTokens(
+            image_context=databank_id(vocab_size, 7),
+            img_start=databank_id(vocab_size, 8),
+            img_end=databank_id(vocab_size, 9),
+            im_start=databank_id(vocab_size, 4),
+            im_end=databank_id(vocab_size, 5),
+            endoftext=databank_id(vocab_size, 6),
+            eos=databank_id(vocab_size, 5),
+        )
+        return InternVLVLMConfig(vision=vision, text=text, tokens=tokens, dtype="float32")
+
+
 def databank_id(vocab_size: int, slot: int) -> int:
     """Reserve special-token ids at the top of a (tiny) vocab, mirroring Qwen's layout
     where specials sit at the end of the vocab."""

@@ -8,6 +8,7 @@ from __future__ import annotations
 from typing import Callable, Dict, List, Sequence
 
 from . import generic
+from .internvl import internvl_format_reward, internvl_iou_reward
 from .zoomearth import answer_reward, bbox_reward, format_reward
 
 
@@ -41,6 +42,9 @@ REWARD_REGISTRY: Dict[str, Callable] = {
     "repetition": _stage_agnostic(
         lambda finals, **kw: [generic.repetition_penalty_reward(c) for c in finals]
     ),
+    # InternVL module (vlm_modules/internvl_module.py select_reward_func)
+    "internvl_format": internvl_format_reward,
+    "internvl_iou": internvl_iou_reward,
 }
 
 

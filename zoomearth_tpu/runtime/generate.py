@@ -176,22 +176,30 @@ class Generator:
     # -- jitted stages ------------------------------------------------------
 
     def _prefill(self, params, ids, lengths, pos, pixel_values, meta, cache):
-        """Prefill the cache; returns (last-token logits (B, V), cache)."""
+        """Prefill the cache; returns (last-token logits (B, V), cache).
+
+        pixel_values with meta=None means PRECOMPUTED vision embeddings (N_tokens, E)
+        — the embeds-input family path (InternVL: reference is_embeds_input,
+        vlm_modules/internvl_module.py:47-48)."""
         B, S = ids.shape
         attn_positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
         attn_valid = attn_positions < lengths[:, None]
+        vis_kw = (
+            dict(vision_embeds=pixel_values)
+            if pixel_values is not None and meta is None
+            else dict(pixel_values=pixel_values, vision_meta=meta)
+        )
         last, cache = vlm_forward(
             params,
             self.cfg,
             ids,
             pos,
-            pixel_values=pixel_values,
-            vision_meta=meta,
             attn_positions=attn_positions,
             attn_valid=attn_valid,
             cache=cache,
             update_cache_len=False,
             logit_index=lengths - 1,
+            **vis_kw,
         )
         cache = cache._replace(length=lengths)
         return last, cache
@@ -252,12 +260,16 @@ class Generator:
         # keep_len + S > T window back onto valid kv)
         write_pos = jnp.where(attn_valid, attn_positions, T)
         cache = cache._replace(length=keep_len)
+        vis_kw = (
+            dict(vision_embeds=pixel_values)
+            if pixel_values is not None and meta is None
+            else dict(pixel_values=pixel_values, vision_meta=meta)
+        )
         logits, cache = vlm_forward(
             params, self.cfg, ids, pos,
-            pixel_values=pixel_values, vision_meta=meta,
             attn_positions=attn_positions, attn_valid=attn_valid,
             cache=cache, update_cache_len=False, logit_index=chunk_lens - 1,
-            write_pos=write_pos,
+            write_pos=write_pos, **vis_kw,
             # XLA's fused attention beats the Pallas causal kernel at our prefill
             # sizes (measured on-TPU); flash_causal stays opt-in for long-context
             use_flash=False,

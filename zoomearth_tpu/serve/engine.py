@@ -169,6 +169,10 @@ class ServingEngine:
         # encoding prompts 2..N when request 1 lands), wait this long for stragglers so
         # a burst becomes ONE batched prefill instead of a 1-row + (N-1)-row split.
         self.admission_debounce_s = 0.012
+        # Admission coalescing: while other slots are decoding, hold admissions until
+        # at least this many rows are ready (each prefill batch has a fixed dispatch +
+        # ViT cost; trickled single-row admissions fragment it). 1 = admit eagerly.
+        self.admit_min_batch = 1
         dtype = cache_dtype or jnp.dtype(cfg.dtype)
         self.cache = KVCache.create(cfg.text, max_slots, max_seq_len, dtype)
         self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
@@ -562,7 +566,7 @@ class ServingEngine:
         """One scheduler tick: drain the queue into batched prefills, pump one decode
         chunk, retire finished slots."""
         deferred = []
-        rows: List[_PrefillRow] = []
+        admissible = []  # raw items with capacity: (item, slot_or_None)
         free = [i for i in range(self.max_slots) if not self.active[i] and not self.slots[i].held]
         taken = set()
         debounced = False
@@ -570,14 +574,14 @@ class ServingEngine:
             try:
                 item = self.queue.get_nowait()
             except queue.Empty:
-                if rows and not debounced and self.admission_debounce_s > 0:
+                if admissible and not debounced and self.admission_debounce_s > 0:
                     debounced = True
                     time.sleep(self.admission_debounce_s)
                     continue
                 break
             if isinstance(item, Continuation):
                 if item.parent_request_id in self.held:
-                    rows.append(self._prep_continuation(item))
+                    admissible.append((item, None))
                 else:
                     deferred.append(item)  # parent not finished/held yet
             else:
@@ -586,10 +590,19 @@ class ServingEngine:
                     deferred.append(item)
                     break
                 taken.add(slot_idx)
-                rows.append(self._prep_request(item, slot_idx))
+                admissible.append((item, slot_idx))
+        if admissible and len(admissible) < self.admit_min_batch and self.active.any():
+            # coalesce: let the decoding slots run on; these rows wait for company
+            deferred.extend(item for item, _ in admissible)
+            admissible = []
         for item in deferred:
             self.queue.put(item)
-        if rows:
+        if admissible:
+            rows = [
+                self._prep_continuation(item) if isinstance(item, Continuation)
+                else self._prep_request(item, slot_idx)
+                for item, slot_idx in admissible
+            ]
             self._run_prefill_batch(rows)
         if not self.active.any():
             return False

@@ -13,6 +13,8 @@ from __future__ import annotations
 import threading
 from typing import Callable, List, Optional, Sequence
 
+import numpy as np
+
 from ..agent import prompts as PT
 from ..agent.episode import EpisodeResult, split_kept_tokens
 from ..agent.processor import Processor
@@ -28,8 +30,8 @@ def run_episodes_served(
     *,
     stage1_max_size: int = 512,
     crop_min_size: int = 512,
-    max_new_tokens: int = 1024,
-    stage2_max_tokens: int = None,
+    max_new_tokens=1024,  # int, or a per-episode sequence
+    stage2_max_tokens=None,  # int, or a per-episode sequence
     temperature: float = 0.01,
     prompt_fn: Optional[Callable[[str], str]] = None,
     image_keys: Optional[Sequence[str]] = None,
@@ -48,8 +50,11 @@ def run_episodes_served(
     tk = processor.tokenizer
     cfg = engine.cfg
     prompt_fn = prompt_fn or PT.stage1_prompt
-    stage2_max_tokens = stage2_max_tokens or max_new_tokens
     n = len(questions)
+    if stage2_max_tokens is None:
+        stage2_max_tokens = max_new_tokens
+    s1_budget = [int(max_new_tokens)] * n if np.isscalar(max_new_tokens) else [int(x) for x in max_new_tokens]
+    s2_budget = [int(stage2_max_tokens)] * n if np.isscalar(stage2_max_tokens) else [int(x) for x in stage2_max_tokens]
     results: List[Optional[EpisodeResult]] = [None] * n
     lock = threading.Lock()
     done = threading.Event()
@@ -62,9 +67,14 @@ def run_episodes_served(
         resized.append(small)
         scales.append(max(img.width, img.height) / max(small.width, small.height))
 
+    import dataclasses as _dc
+    import time as _time
+
+    t_submit: List[float] = [0.0] * n
+
     def finish(i, r: EpisodeResult):
         with lock:
-            results[i] = r
+            results[i] = _dc.replace(r, latency_s=_time.time() - t_submit[i])
             pending["n"] -= 1
             if pending["n"] == 0:
                 done.set()
@@ -92,7 +102,7 @@ def run_episodes_served(
         engine.submit_continuation(Continuation(
             parent_request_id=f"ep{i}-s1", request_id=f"ep{i}-s2",
             chunk_ids=chunk, images=crop_prepped, kept_tokens=len(kept),
-            max_tokens=stage2_max_tokens, temperature=temperature,
+            max_tokens=s2_budget[i], temperature=temperature,
         ))
         c2 = engine.get_completion(f"ep{i}-s2", timeout=1800)
         out2 = tk.decode(c2.token_ids).strip()
@@ -117,9 +127,10 @@ def run_episodes_served(
             if list(ids[: len(pids)]) == list(pids):
                 prefix_len = len(pids)
                 prefix_key = f"{image_keys[i]}|{grids[:n_prefix_images]}"
+        t_submit[i] = _time.time()
         engine.submit(Request(
             request_id=f"ep{i}-s1", token_ids=ids, images=prepped,
-            max_tokens=max_new_tokens, temperature=temperature, hold_slot=True,
+            max_tokens=s1_budget[i], temperature=temperature, hold_slot=True,
             prefix_key=prefix_key, prefix_len=prefix_len, n_prefix_images=n_prefix_images,
         ))
 

@@ -46,11 +46,17 @@ class FakeTokenizer:
         "<|im_start|>": "im_start",
         "<|im_end|>": "im_end",
         "<|endoftext|>": "endoftext",
+        # InternVL family (config.InternVLTokens)
+        "<IMG_CONTEXT>": "image_context",
+        "<img>": "img_start",
+        "</img>": "img_end",
     }
 
     def __init__(self, tokens: SpecialTokens):
         self.tokens = tokens
-        self._special_to_id = {s: getattr(tokens, attr) for s, attr in self.SPECIAL.items()}
+        self._special_to_id = {
+            s: getattr(tokens, attr) for s, attr in self.SPECIAL.items() if hasattr(tokens, attr)
+        }
         self._id_to_special = {v: k for k, v in self._special_to_id.items()}
 
     def encode(self, text: str) -> List[int]:

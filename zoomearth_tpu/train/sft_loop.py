@@ -149,6 +149,9 @@ class SFTLoopConfig:
     max_pixels: int = 64 * 64 * 28 * 28
     seed: int = 42
     resume_from_checkpoint: bool = False
+    # metric sinks: jsonl always; "tensorboard"/"wandb" mirror the reference's
+    # accelerate trackers (SFT.py:333-339)
+    report_to: tuple = ("jsonl",)
 
 
 def train_sft(
@@ -179,8 +182,10 @@ def train_sft(
             params, opt_state, meta = ckpt.restore(latest, params, opt_state)
             start_step = meta["step"]
 
-    metrics_path = os.path.join(loop_cfg.output_dir, "metrics.jsonl")
     os.makedirs(loop_cfg.output_dir, exist_ok=True)
+    from ..utils.metrics_sinks import MetricsLogger
+
+    logger = MetricsLogger(loop_cfg.output_dir, report_to=tuple(loop_cfg.report_to))
     history = []
     rng = np.random.default_rng(loop_cfg.seed)
     global_step = 0
@@ -204,7 +209,7 @@ def train_sft(
                 out[k] = jax.device_put(v, shardings[k])
         return out
 
-    with open(metrics_path, "a") as mf:
+    try:
         for epoch in range(loop_cfg.num_train_epochs):
             order = rng.permutation(len(dataset))
             for batch_samples in batched([dataset[i] for i in order], loop_cfg.batch_size, drop_last=True):
@@ -223,10 +228,11 @@ def train_sft(
                         "elapsed_s": round(time.time() - t_start, 1),
                     }
                     history.append(rec)
-                    mf.write(json.dumps(rec) + "\n")
-                    mf.flush()
+                    logger.log({k: v for k, v in rec.items() if k != "step"}, global_step)
                 if global_step % loop_cfg.save_steps == 0:
                     ckpt.save(global_step, params, opt_state, extra={"epoch": epoch, "loss": float(metrics["loss"])})
                 if max_steps and global_step - start_step >= max_steps:
                     return params, history
-    return params, history
+        return params, history
+    finally:
+        logger.close()
