@@ -1,22 +1,26 @@
 """Benchmark: two-stage zoom-QA episode throughput on one TPU chip.
 
-Models the LRS-GRO eval workload (BASELINE.json north star: queries/sec/chip):
-flagship Qwen2.5-VL-3B config, bf16, batch of 8 episodes per wave —
-  stage 1: 5000px tile -> host resize to 512px -> preprocess -> prefill(~700 tok incl.
-           324 image tokens) -> decode 160 tokens (no early stop: random weights;
-           real runs EOS earlier, so this is worst-case decode work)
-  stage 2: host crop (512px window from the full-res tile) -> preprocess -> prefill
-           (~1180 tok incl. 2 images) -> decode 96 tokens
-Host pipeline uses the native C++ ops (zoomearth_tpu.native) and the next wave's
-stage-1 preprocessing is PREFETCHED on a worker thread while the device decodes the
-current wave (image/loader.py) — the north-star overlap.
+Models the LRS-GRO eval workload (BASELINE.json north star: queries/sec/chip AND p50
+episode latency): flagship Qwen2.5-VL-3B config, int8-weight serving (bf16 activations,
+BENCH_NO_INT8=1 for pure bf16), BENCH_BATCH episodes per wave (default 32) —
+  stage 1: 5000px tile -> host resize to 512px -> uint8 patchify (device-side
+           normalization) -> prefill(~700 tok incl. 324 image tokens) -> decode 160
+           tokens (no early stop: random weights; real runs EOS earlier, so this is
+           worst-case decode work)
+  stage 2: host crop (512px window from the full-res tile) -> preprocess -> KV-reuse
+           continuation prefill (only the crop's ~340 vision tokens) -> decode 96 tokens
+Stage-1 image prep is amortized across waves (LRS-GRO asks ~10.7 questions/image) and
+the next wave's packing is PREFETCHED under the device work (image/loader.py).
+
+BENCH_MODE=engine runs the continuous-batching engine instead: 2*BATCH episodes with
+varied per-episode budgets over BATCH slots, prefix KV caching, slot backfill.
 
 Weight values are random (no checkpoint on disk); throughput is value-independent.
 vs_baseline uses an ESTIMATED A100 vLLM reference of 2.0 q/s/GPU for the same episode
 shape (the reference publishes no throughput numbers — BASELINE.md; replace with a
 measured figure when available).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", p50/p95 latency}.
 """
 
 import json
@@ -26,9 +30,10 @@ import time
 
 import numpy as np
 
-BATCH = 16  # decode reads all 3B weights once per step regardless of batch;
-# at the measured 607 GB/s that floor is ~11 ms/step, so batching is the main
-# throughput lever (KV-cache reads grow with batch but stay secondary)
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))  # decode reads all 3B weights once
+# per step regardless of batch; at ~600 GB/s effective HBM that floor is ~5 ms/step
+# (int8), so batching is the main throughput lever (KV-cache reads grow with batch but
+# stay secondary: +0.9 GB/step per 16 slots at 1536 ctx)
 STAGE1_NEW = 160
 STAGE2_NEW = 96
 WAVES = 3  # timed waves (after one warmup/compile wave)
@@ -241,7 +246,7 @@ def main():
     # equals its wave's wall time
     latencies = [t for t in wave_times for _ in range(BATCH)]
     print(json.dumps({
-        "metric": "LRS-GRO-shaped zoom-QA episodes/sec/chip (3B bf16, 2-stage, batch 16)",
+        "metric": f"LRS-GRO-shaped zoom-QA episodes/sec/chip (3B int8-serving, 2-stage, batch {BATCH})",
         "value": round(qps, 3),
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / A100_VLLM_BASELINE_QPS, 3),

@@ -31,7 +31,8 @@ def _check(q, k, v, positions, kv_len, block_q=32, block_kv=32, atol=2e-5):
         )
     )
     out = np.asarray(
-        flash_causal_attention(q, k, v, positions, kv_len,
+        flash_causal_attention(q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                               positions, kv_len,
                                block_q=block_q, block_kv=block_kv, interpret=True)
     )
     # only rows whose position is within kv_len are meaningful

@@ -83,7 +83,10 @@ def _attn_layer(
             from ..ops.flash_causal import flash_causal_attention
 
             # right-padded inputs: causality alone excludes the tail pads
-            out = flash_causal_attention(q, k, v, positions, jnp.full((B,), S, jnp.int32))
+            out = flash_causal_attention(
+                q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                positions, jnp.full((B,), S, jnp.int32),
+            )
         else:
             out = causal_attention(
                 q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
@@ -112,10 +115,16 @@ def _attn_layer(
         if S == 1:
             # Single-step decode: attend over the prefix + the new token.
             out = decode_attention(q, k_cache, v_cache, kv_len=cache_len + 1)
+        elif use_flash:
+            # Large-batch chunk prefill: XLA's masked attention materializes a
+            # (B, H, S, T) fp32 logits tensor (3.5 GB at B=48/S=768/T=1536 — OOM);
+            # the Pallas causal kernel streams the kv-head-major cache directly.
+            from ..ops.flash_causal import flash_causal_attention
+
+            out = flash_causal_attention(q, k_cache, v_cache, positions, cache_len + S)
         else:
-            # Chunked prefill into an existing cache (stage-2 continuation). The Pallas
-            # causal kernel takes seq-major kv — with the kv-head-major cache we stay on
-            # XLA attention here (it wins at our chunk sizes anyway, measured on-TPU).
+            # Chunked prefill into an existing cache (stage-2 continuation): XLA's
+            # fused attention wins at small B*S*T (measured on-TPU).
             T = k_cache.shape[2]
             slot = jnp.arange(T)[None, :]
             valid_t = slot < (cache_len[:, None] + S)

@@ -4,7 +4,10 @@ The decoder's batched causal attention (ops/attention.causal_attention) material
 (B, Hkv, G, S, T) fp32 logits — ~2.4 GB per layer at B=16/S=1536. This kernel streams
 kv blocks with online softmax and skips blocks entirely above the causal diagonal.
 
-Layout: q (B, S, H, D), k/v (B, T, Hkv, D); queries at positions[b, s] attend kv slots
+Layout: q (B, S, H, D), k/v (B, Hkv, T, D) kv-head-major (the cache layout — the
+kernel DMA slices [b, kh, t0:t1, :], which stays tile-aligned; a (B, T, Hkv, D) layout
+would slice the 2-wide Hkv dim inside the (sublane, lane) tile and Mosaic rejects it);
+queries at positions[b, s] attend kv slots
 t <= position (slot order == position order per row, as in our cache layout) AND
 t < kv_len[b]. GQA: the G = H/Hkv query heads of a kv head are folded into the q-block
 rows (block shape (G*block_q, D)) so the MXU sees one big matmul per kv head.
@@ -30,20 +33,20 @@ def _kernel(q_ref, pos_ref, kvlen_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
     # q block: (block_q, G, D) -> (G*block_q, D) rows grouped by query head
     q = q_ref[...].astype(jnp.float32) * scale  # (block_q, G, D)
     q2 = q.transpose(1, 0, 2).reshape(G * block_q, D)
-    pos_q = pos_ref[0, pl.ds(qi * block_q, block_q)]  # (block_q,)
-    kv_len = kvlen_ref[0]
+    pos_q = pos_ref[0, :]  # (block_q,) — this q block's positions via the BlockSpec
+    kv_len = kvlen_ref[b, 0]
     # causal bound: kv slots <= max position in this q block, clipped by kv_len
     hi = jnp.minimum(jnp.max(pos_q) + 1, kv_len)
     n_blocks = pl.cdiv(hi, block_kv)
 
     def k_dma(slot, blk):
         return pltpu.make_async_copy(
-            k_hbm.at[b, pl.ds(blk * block_kv, block_kv), kh, :], kbuf.at[slot], sems.at[slot, 0]
+            k_hbm.at[b, kh, pl.ds(blk * block_kv, block_kv), :], kbuf.at[slot], sems.at[slot, 0]
         )
 
     def v_dma(slot, blk):
         return pltpu.make_async_copy(
-            v_hbm.at[b, pl.ds(blk * block_kv, block_kv), kh, :], vbuf.at[slot], sems.at[slot, 1]
+            v_hbm.at[b, kh, pl.ds(blk * block_kv, block_kv), :], vbuf.at[slot], sems.at[slot, 1]
         )
 
     k_dma(0, 0).start()
@@ -65,9 +68,13 @@ def _kernel(q_ref, pos_ref, kvlen_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
         logits = jax.lax.dot_general(
             q2, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (G*block_q, block_kv)
-        slot_ids = jj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (1, block_kv), 1)
-        mask = (slot_ids <= jnp.tile(pos_q, (G,))[:, None]) & (slot_ids < kv_len)
-        logits = jnp.where(mask, logits, NEG_INF)
+        # mask in a (G, block_q, block_kv) view — a jnp.tile of pos_q by G lowers to an
+        # unsupported 1D tpu.concatenate for larger G
+        slot_ids = jj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_kv), 2)
+        mask = (slot_ids <= pos_q[None, :, None]) & (slot_ids < kv_len)
+        logits = jnp.where(mask, logits.reshape(G, block_q, block_kv), NEG_INF).reshape(
+            G * block_q, block_kv
+        )
         m_blk = jnp.max(logits, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_blk)
         p = jnp.exp(logits - m_new)
@@ -89,7 +96,7 @@ def _kernel(q_ref, pos_ref, kvlen_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
 @functools.partial(jax.jit, static_argnames=("block_q", "block_kv", "interpret"))
 def flash_causal_attention(
     q: jnp.ndarray,  # (B, S, H, D)
-    k: jnp.ndarray,  # (B, T, Hkv, D)
+    k: jnp.ndarray,  # (B, Hkv, T, D) kv-head-major (cache layout)
     v: jnp.ndarray,
     positions: jnp.ndarray,  # (B, S) int32 query positions (== kv slot of each query)
     kv_len: jnp.ndarray,  # (B,) valid kv entries
@@ -103,8 +110,8 @@ def flash_causal_attention(
     Requires positions non-decreasing per row (true for prefill: slot==index) so the
     per-q-block causal bound is the block's max position."""
     B, S, H, D = q.shape
-    T = k.shape[1]
-    Hkv = k.shape[2]
+    Hkv = k.shape[1]
+    T = k.shape[2]
     G = H // Hkv
     scale = D**-0.5
     Dp = max(128, -(-D // 128) * 128)
@@ -120,8 +127,8 @@ def flash_causal_attention(
     pad_t = (-T) % block_kv
     Tp = T + pad_t
     if pad_t:
-        k = jnp.pad(k, [(0, 0), (0, pad_t), (0, 0), (0, 0)])
-        v = jnp.pad(v, [(0, 0), (0, pad_t), (0, 0), (0, 0)])
+        k = jnp.pad(k, [(0, 0), (0, 0), (0, pad_t), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, 0), (0, pad_t), (0, 0)])
 
     # q regrouped: (B, Sp, Hkv, G, D) -> block over Sp with G folded in-kernel
     qg = q.reshape(B, Sp, Hkv, G, Dp)
@@ -132,8 +139,12 @@ def flash_causal_attention(
         grid=(B, Hkv, n_q),
         in_specs=[
             pl.BlockSpec((None, block_q, None, G, Dp), lambda b, h, i: (b, i, h, 0, 0), memory_space=pltpu.VMEM),  # q
-            pl.BlockSpec((None, 1, Sp), lambda b, h, i: (b, 0, 0), memory_space=pltpu.VMEM),  # positions
-            pl.BlockSpec((None, 1), lambda b, h, i: (b, 0), memory_space=pltpu.SMEM),  # kv_len
+            # per-q-block positions slice (an in-kernel dynamic lane-offset slice of the
+            # full row is "outside the first tile" for Mosaic at n_q > 1)
+            pl.BlockSpec((None, 1, block_q), lambda b, h, i: (b, 0, i), memory_space=pltpu.VMEM),  # positions
+            # whole (B, 1) array in SMEM (a per-row squeezed block trips the TPU
+            # block-shape divisibility rule at larger B); indexed by program id
+            pl.BlockSpec((B, 1), lambda b, h, i: (0, 0), memory_space=pltpu.SMEM),  # kv_len
             pl.BlockSpec(memory_space=pl.ANY),  # k
             pl.BlockSpec(memory_space=pl.ANY),  # v
         ],

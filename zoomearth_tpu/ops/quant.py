@@ -54,8 +54,6 @@ def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
 def quantize_decoder_int8(params):
     """Quantize the text-decoder layer matmuls in a param tree (returns a new tree;
     norms/biases/embedding untouched)."""
-    import copy
-
     out = {"vision": params["vision"], "text": dict(params["text"])}
     new_layers = []
     for layer in params["text"]["layers"]:

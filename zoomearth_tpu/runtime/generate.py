@@ -29,7 +29,7 @@ from ..models.vlm import vlm_forward
 from ..ops.sampling import greedy, sample
 
 DEFAULT_LENGTH_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048)
-DEFAULT_PATCH_BUCKETS = (0, 256, 512, 1024, 1600, 2304, 3136, 4096, 6400, 8192, 10368, 12800, 16384, 20736, 24576, 32768)
+DEFAULT_PATCH_BUCKETS = (0, 256, 512, 1024, 1600, 2304, 3136, 4096, 6400, 8192, 10368, 12800, 16384, 20736, 24576, 32768, 41472, 49152, 65536, 82944, 98304, 131072)
 
 
 def bucket(n: int, buckets: Sequence[int]) -> int:
@@ -175,7 +175,7 @@ class Generator:
 
     # -- jitted stages ------------------------------------------------------
 
-    def _prefill(self, params, ids, lengths, pos, pixel_values, meta, cache):
+    def _prefill(self, params, ids, lengths, pos, pixel_values, meta, cache, *, use_flash=False):
         """Prefill the cache; returns (last-token logits (B, V), cache).
 
         pixel_values with meta=None means PRECOMPUTED vision embeddings (N_tokens, E)
@@ -199,6 +199,7 @@ class Generator:
             cache=cache,
             update_cache_len=False,
             logit_index=lengths - 1,
+            use_flash=use_flash,
             **vis_kw,
         )
         cache = cache._replace(length=lengths)
@@ -250,7 +251,7 @@ class Generator:
         _, _, tokens_buf, _, cache, _, _ = jax.lax.while_loop(cond, body, state)
         return tokens_buf, cache
 
-    def _chunk_prefill(self, params, ids, chunk_lens, keep_len, pos, pixel_values, meta, cache):
+    def _chunk_prefill(self, params, ids, chunk_lens, keep_len, pos, pixel_values, meta, cache, *, use_flash=False):
         """Prefill a continuation chunk into an EXISTING cache truncated to keep_len."""
         B, S = ids.shape
         T = cache.k[0].shape[2]
@@ -298,9 +299,12 @@ class Generator:
         B, S = batch.input_ids.shape
         stop_tokens = (cfg.tokens.eos, cfg.tokens.endoftext)
         n_patches = batch.pixel_values.shape[0] if batch.pixel_values is not None else 0
+        big = B * S * self.max_cache_len > 16 * 768 * 1536
         key = ("chunk", B, S, n_patches)
         if key not in self._prefill_fns:
-            self._prefill_fns[key] = jax.jit(self._chunk_prefill, donate_argnums=(7,))
+            self._prefill_fns[key] = jax.jit(
+                functools.partial(self._chunk_prefill, use_flash=big), donate_argnums=(7,)
+            )
         chunk_prefill = self._prefill_fns[key]
         dc_key = (B, gen.max_new_tokens, gen.temperature, gen.top_p, stop_tokens)
         if dc_key not in self._decode_fns:
@@ -362,9 +366,10 @@ class Generator:
         cache = KVCache.create(cfg.text, B, self.max_cache_len, self.cache_dtype)
 
         n_patches = batch.pixel_values.shape[0] if batch.pixel_values is not None else 0
+        big = B * S * self.max_cache_len > 16 * 768 * 1536
         pf_key = (B, S, n_patches)
         if pf_key not in self._prefill_fns:
-            self._prefill_fns[pf_key] = jax.jit(self._prefill)
+            self._prefill_fns[pf_key] = jax.jit(functools.partial(self._prefill, use_flash=big))
         prefill = self._prefill_fns[pf_key]
 
         dc_key = (B, gen.max_new_tokens, gen.temperature, gen.top_p, stop_tokens)
