@@ -281,3 +281,46 @@ def test_mixed_image_and_text_rollout(tiny_trainer):
     assert all(c == "" for c in rb.completions2[G:])
     m = t.step(mixed, seed=11)
     assert np.isfinite(m["loss"])
+
+
+def test_lora_grpo_step(tiny_trainer):
+    """LoRA path: base weights frozen, adapters train, KL reference is the
+    adapter-disabled policy (zero-copy view; KL == 0 at step 1 since b=0)."""
+    import dataclasses as dc
+
+    from zoomearth_tpu.agent.processor import Processor
+    from zoomearth_tpu.models.params import init_vlm_params
+    from zoomearth_tpu.tokenizer import FakeTokenizer
+    from zoomearth_tpu.train.grpo import GRPOTrainer
+    from zoomearth_tpu.train.lora import is_lora, merge_lora, strip_lora
+
+    t0 = tiny_trainer
+    grpo_cfg = dc.replace(t0.grpo, use_lora=True, lora_r=4, lora_alpha=8.0)
+    base = init_vlm_params(jax.random.key(2), CFG)
+    trainer = GRPOTrainer(
+        base, CFG, grpo_cfg, t0.processor, t0.reward_funcs, reward_names=t0.reward_names,
+        max_cache_len=512, image_loader=t0.image_loader,
+        length_buckets=(256, 384), patch_buckets=(64, 128), cache_dtype="float32",
+    )
+    w0 = trainer.params["text"]["layers"][0]["attn"]["wq"]
+    assert is_lora(w0)
+    base_before = np.asarray(w0["w"]).copy()
+    b_before = np.asarray(w0["b"]).copy()
+    assert np.all(b_before == 0)  # adapters start as identity
+    m = trainer.step(_samples(), seed=3)
+    assert np.isfinite(m["loss"])
+    # KL at the first step: policy == adapter-disabled ref (b was 0 during rollout)
+    assert abs(m["kl"]) < 1e-4
+    w1 = trainer.params["text"]["layers"][0]["attn"]["wq"]
+    np.testing.assert_array_equal(base_before, np.asarray(w1["w"]))  # base frozen
+    assert not np.allclose(b_before, np.asarray(w1["b"]))  # adapter moved
+    # second step exercises the refreshed ref view after donation
+    m2 = trainer.step(_samples(), seed=4)
+    assert np.isfinite(m2["loss"]) and np.isfinite(m2["kl"])
+    # merged export equals base + a@b*s (w1 handles were donated by step 2 — re-fetch)
+    w2 = trainer.params["text"]["layers"][0]["attn"]["wq"]
+    merged = merge_lora(trainer.params)
+    want = np.asarray(w2["w"]) + np.asarray(w2["a"]) @ np.asarray(w2["b"]) * float(w2["s"])
+    np.testing.assert_allclose(np.asarray(merged["text"]["layers"][0]["attn"]["wq"]), want, atol=1e-5)
+    # stripped view has plain weights
+    assert not is_lora(strip_lora(trainer.params)["text"]["layers"][0]["attn"]["wq"])

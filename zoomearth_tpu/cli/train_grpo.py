@@ -38,6 +38,10 @@ def main(argv=None):
                    help="TR-DPO: mix policy into the reference every sync steps")
     p.add_argument("--ref_model_mixup_alpha", type=float, default=0.6)
     p.add_argument("--ref_model_sync_steps", type=int, default=512)
+    p.add_argument("--use_lora", action="store_true",
+                   help="train LoRA adapters on the decoder, base frozen (PEFT path)")
+    p.add_argument("--lora_r", type=int, default=8)
+    p.add_argument("--lora_alpha", type=float, default=16.0)
     p.add_argument("--reward_funcs", nargs="+", default=["iou", "format", "answer"])
     p.add_argument("--num_train_epochs", type=int, default=1)
     p.add_argument("--save_steps", type=int, default=50)
@@ -70,6 +74,7 @@ def main(argv=None):
         sync_ref_model=args.sync_ref_model,
         ref_model_mixup_alpha=args.ref_model_mixup_alpha,
         ref_model_sync_steps=args.ref_model_sync_steps,
+        use_lora=args.use_lora, lora_r=args.lora_r, lora_alpha=args.lora_alpha,
     )
     trainer = GRPOTrainer(
         params, cfg, grpo_cfg, processor,

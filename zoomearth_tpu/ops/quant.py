@@ -48,6 +48,8 @@ def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
             x, w["q"], (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=x.dtype
         )
         return y * w["s"].astype(y.dtype)
+    if isinstance(w, dict) and "a" in w and "b" in w:  # LoRA (train/lora.py)
+        return x @ w["w"] + ((x @ w["a"]) @ w["b"]) * w["s"].astype(x.dtype)
     return x @ w
 
 

@@ -81,6 +81,12 @@ class GRPOConfig:
     sync_ref_model: bool = False
     ref_model_mixup_alpha: float = 0.6
     ref_model_sync_steps: int = 512
+    # LoRA (the reference PEFT path, grpo_trainer.py:293-305): adapters on the decoder
+    # matmuls train, base weights freeze, and the KL reference is the adapter-DISABLED
+    # policy (a view of the same base arrays — no second copy in HBM).
+    use_lora: bool = False
+    lora_r: int = 8
+    lora_alpha: float = 16.0
     # Stage-2 rollouts continue from the stage-1 KV cache (prefilling only the crop's
     # vision tokens) AND the training sequence keeps the GENERATED stage-1 tokens
     # verbatim. The reference instead re-tokenizes the stitched text (decode->strip->
@@ -224,6 +230,11 @@ class GRPOTrainer:
         patch_buckets=DEFAULT_PATCH_BUCKETS,
         cache_dtype=None,
     ):
+        if grpo_cfg.use_lora:
+            from .lora import apply_lora
+
+            params = apply_lora(params, jax.random.key(0),
+                                r=grpo_cfg.lora_r, alpha=grpo_cfg.lora_alpha)
         self.params = params
         self.cfg = cfg
         self.grpo = grpo_cfg
@@ -237,10 +248,20 @@ class GRPOTrainer:
         self.image_loader = image_loader
         self.length_buckets = length_buckets
         self.patch_buckets = patch_buckets
-        # reference policy for KL: frozen copy of the initial params (create_reference_model
-        # semantics, grpo_trainer.py:305). Must be a REAL buffer copy: the optimizer
-        # update donates the live params' buffers.
-        self.ref_params = jax.tree.map(jnp.copy, params) if grpo_cfg.beta > 0 else None
+        # Reference policy for KL. LoRA: the adapter-disabled policy — a VIEW of the
+        # same base arrays, no copy (PEFT semantics, grpo_trainer.py:299-303). The base
+        # arrays never change (updates masked), so the view stays valid... except the
+        # optimizer update DONATES buffers; zero-update donation rewrites in place with
+        # identical values, so sharing is safe. Full fine-tune: a real buffer copy
+        # (create_reference_model semantics, grpo_trainer.py:305).
+        if grpo_cfg.beta <= 0:
+            self.ref_params = None
+        elif grpo_cfg.use_lora:
+            from .lora import strip_lora
+
+            self.ref_params = strip_lora(params)
+        else:
+            self.ref_params = jax.tree.map(jnp.copy, params)
         tx = optax.chain(
             optax.clip_by_global_norm(grpo_cfg.max_grad_norm),
             optax.adamw(grpo_cfg.learning_rate),
@@ -273,6 +294,10 @@ class GRPOTrainer:
             # still move frozen params
             updates = dict(updates)
             updates["vision"] = jax.tree.map(jnp.zeros_like, updates["vision"])
+        if self.grpo.use_lora:
+            from .lora import mask_base_updates
+
+            updates = mask_base_updates(updates, params)
         return optax.apply_updates(params, updates), opt_state
 
     def _sync_ref(self, ref_params, params):
@@ -544,6 +569,12 @@ class GRPOTrainer:
         )
         (loss, aux), grads = self._loss_grad(self.params, self.cfg, batch)
         self.params, self.opt_state = self._update(self.params, self.opt_state, grads)
+        if self.grpo.use_lora and self.ref_params is not None:
+            # the update donated the old buffers; re-take the adapter-disabled view of
+            # the (value-identical) new base arrays
+            from .lora import strip_lora
+
+            self.ref_params = strip_lora(self.params)
         if (
             self.grpo.sync_ref_model
             and self.ref_params is not None
