@@ -26,6 +26,7 @@ finished slots. The device never waits on the host between the K steps.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 import threading
@@ -202,6 +203,18 @@ class ServingEngine:
         self._running = False
         self.stats = {"completed": 0, "decode_steps": 0, "prefills": 0,
                       "prefill_rows": 0, "prefix_hits": 0, "prefix_saves": 0}
+        self._latencies = collections.deque(maxlen=1024)  # submit -> completion, seconds
+
+    def latency_percentiles(self):
+        """p50/p95 request latency over the last 1024 completions (the north-star
+        metric's second half: queries/sec/chip AND p50 latency, BASELINE.json)."""
+        if not self._latencies:
+            return {"p50_latency_s": None, "p95_latency_s": None}
+        arr = np.asarray(self._latencies)
+        return {
+            "p50_latency_s": round(float(np.percentile(arr, 50)), 3),
+            "p95_latency_s": round(float(np.percentile(arr, 95)), 3),
+        }
 
     # ------------------------------------------------------------------
     # jitted device programs
@@ -555,6 +568,7 @@ class ServingEngine:
             self.results[req.request_id] = completion
             self._results_cond.notify_all()
         self.stats["completed"] += 1
+        self._latencies.append(completion.created_at - req.enqueued_at)
         self.active[slot_idx] = False
         if req.hold_slot:
             slot.held = True

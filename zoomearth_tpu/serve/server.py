@@ -111,7 +111,9 @@ class OpenAIServer:
 
             def do_GET(self):
                 if self.path == "/health":
-                    self._json(200, {"status": "ok", "stats": outer.engine.stats})
+                    self._json(200, {"status": "ok",
+                                     "stats": {**outer.engine.stats,
+                                               **outer.engine.latency_percentiles()}})
                 elif self.path == "/v1/models":
                     self._json(200, {"object": "list", "data": [
                         {"id": outer.model_name, "object": "model", "owned_by": "zoomearth-tpu"}
