@@ -115,3 +115,30 @@ def test_run_inference_schema_and_sharding(tmp_path):
     # records score perfectly
     m = evaluate_dataset(recs, verbose=False)
     assert m["overall_acc2"] == 1.0
+
+
+def test_group_by_image_amortizes_loads(tmp_path):
+    """Questions about the same tile load/decode it once (LRS-GRO ~10.7 Q/image)."""
+    tk = FakeTokenizer(CFG.tokens)
+    proc = Processor(tk, CFG, max_pixels=4 * 28 * 28)
+    rng = np.random.default_rng(1)
+    img = Image.fromarray(rng.integers(0, 255, (600, 600, 3), dtype=np.uint8))
+    samples = [
+        LRSGROSample(question_id=str(i), image_name=f"img{i % 2}.png", category="c",
+                     question=f"q{i}?", higher_level="p", ground_truth="x",
+                     bbox=[], type="global")
+        for i in range(6)  # 2 images x 3 questions, interleaved
+    ]
+    uncut = "<think>a</think><answer>x</answer>"
+    g = ScriptedGenerator(tk, [[uncut] * 3, [uncut] * 3])
+    loads = []
+
+    def loader(s):
+        loads.append(s.image_name)
+        return img
+
+    out = run_inference(g, proc, samples, str(tmp_path / "r.jsonl"), batch_size=3,
+                        gen=GenerationConfig(max_new_tokens=3), image_loader=loader)
+    recs = [json.loads(l) for l in open(out)]
+    assert {r["question_id"] for r in recs} == {str(i) for i in range(6)}
+    assert len(loads) == 2  # one decode per image, not per question

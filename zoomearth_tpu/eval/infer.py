@@ -54,20 +54,40 @@ def run_inference(
     gen: GenerationConfig = GenerationConfig(max_new_tokens=1024, temperature=0.01),
     model_id: str = "zoomearth-tpu",
     image_loader=None,
+    group_by_image: bool = True,
 ) -> str:
     """Run the two-stage eval over this rank's shard; returns the output path.
 
     image_loader(sample) -> PIL image; defaults to opening sample.image_path.
-    Reference eval decoding: temperature 0.01, <=512px stage-1 inputs (infer.py:78,112)."""
+    Reference eval decoding: temperature 0.01, <=512px stage-1 inputs (infer.py:78,112).
+
+    group_by_image: process questions about the same tile consecutively (LRS-GRO asks
+    ~10.7 questions per ~5000px image, README.md:45-50) so the expensive tile decode is
+    amortized by the loader cache below. Output order changes but the scorer keys
+    records by question_id, and per-question results are order-independent."""
     if image_loader is None:
         def image_loader(s):
             return Image.open(s.image_path).convert("RGB")
 
+    # small cache over the (stable-sorted) image stream: one ~5000px tile decode per
+    # image instead of one per question
+    _cache: dict = {}
+
+    def cached_loader(s):
+        key = s.image_name or s.image_path
+        if key not in _cache:
+            if len(_cache) >= 4:
+                _cache.pop(next(iter(_cache)))
+            _cache[key] = image_loader(s)
+        return _cache[key]
+
     shard = [s for i, s in enumerate(samples) if i % world_size == rank]
+    if group_by_image:
+        shard = sorted(shard, key=lambda s: s.image_name or "")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as fout:
         for batch in batched(shard, batch_size):
-            images = [image_loader(s) for s in batch]
+            images = [cached_loader(s) for s in batch]
             questions = [s.question for s in batch]
             results = run_episodes(
                 generator,
