@@ -324,3 +324,31 @@ def test_lora_grpo_step(tiny_trainer):
     np.testing.assert_allclose(np.asarray(merged["text"]["layers"][0]["attn"]["wq"]), want, atol=1e-5)
     # stripped view has plain weights
     assert not is_lora(strip_lora(trainer.params)["text"]["layers"][0]["attn"]["wq"])
+
+
+def test_engine_backed_rollouts(tiny_trainer):
+    """GRPOTrainer with rollout_engine=ServingEngine (the reference's decoupled
+    vLLM-rollout trainer architecture, vllm_grpo_trainer.py:409-420): stage 1 runs as
+    a hold_slot request, stage 2 as a Continuation on the held KV, weights hand off by
+    pointer. max_slots < N exercises queueing + slot backfill mid-rollout."""
+    from zoomearth_tpu.serve.engine import ServingEngine
+
+    t = tiny_trainer
+    engine = ServingEngine(
+        t.params, CFG, max_slots=2, max_seq_len=512, decode_chunk=2,
+        cache_dtype="float32", length_buckets=(256, 384), patch_buckets=(0, 64, 128),
+    )
+    engine.admission_debounce_s = 0.0
+    t.rollout_engine = engine
+    G = t.grpo.num_generations
+    rb = t.rollout(_samples(), seed=1)
+    assert rb.input_ids.shape[0] == 2 * G
+    # sample 0 has a dataset bbox -> stage 2 ran through Continuations
+    assert all(c != "" for c in rb.completions2[:G])
+    # sample 1 is global (bbox []) -> its held slots were released, no stage 2
+    assert all(c == "" for c in rb.completions2[G:])
+    before = jax.tree.leaves(t.params)[0].copy()
+    metrics = t.step(_samples(), seed=2)
+    assert np.isfinite(metrics["loss"])
+    after = jax.tree.leaves(t.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))

@@ -63,3 +63,28 @@ def test_int8_generation_quality_tiny():
         a == b for row_f, row_q in zip(out_f, out_q) for a, b in zip(row_f[:4], row_q[:4])
     )
     assert agree >= 4  # of 8 compared tokens
+
+
+def test_fused_matmuls_bit_identical():
+    """fuse_decoder_matmuls (serving layout) must be numerically IDENTICAL to the split
+    layout, plain and int8: x @ concat(A,B) == concat(x@A, x@B) and per-output-column
+    int8 scales are preserved under output-dim concat."""
+    import jax.numpy as jnp
+
+    from zoomearth_tpu.models.decoder import decoder_forward
+    from zoomearth_tpu.ops.quant import fuse_decoder_matmuls
+
+    params = init_vlm_params(jax.random.key(5), CFG, jnp.float32)
+    fused = fuse_decoder_matmuls(params)
+    l0 = fused["text"]["layers"][0]
+    assert "wqkv" in l0["attn"] and "wgu" in l0["mlp"] and "wq" not in l0["attn"]
+    x = jax.random.normal(jax.random.key(6), (2, 8, CFG.text.hidden_size), jnp.float32)
+    pos = jnp.zeros((3, 2, 8), jnp.int32) + jnp.arange(8)[None, None]
+    h_split, _ = decoder_forward(params["text"], CFG.text, x, pos)
+    h_fused, _ = decoder_forward(fused["text"], CFG.text, x, pos)
+    np.testing.assert_array_equal(np.asarray(h_split), np.asarray(h_fused))
+    hq_split, _ = decoder_forward(quantize_decoder_int8(params)["text"], CFG.text, x, pos)
+    hq_fused, _ = decoder_forward(quantize_decoder_int8(fused)["text"], CFG.text, x, pos)
+    np.testing.assert_array_equal(np.asarray(hq_split), np.asarray(hq_fused))
+    # idempotent
+    assert fuse_decoder_matmuls(fused)["text"]["layers"][0] is l0

@@ -170,10 +170,16 @@ class TestRegistry:
 
     def test_registry_callables_run(self):
         for name, fn in REWARD_REGISTRY.items():
+            # internvl_iou parses the solution as a JSON bbox OUTSIDE its try block
+            # (reference semantics: malformed ground truth raises, it is a data bug)
+            solution = (
+                "<answer>[1, 2, 3, 4]</answer>" if name.startswith("internvl")
+                else "<answer>three</answer>"
+            )
             out = fn(
                 [C1_NOCUT], [""],
                 ground_truth=["three"], bbox=[[1, 2, 3, 4]], scale=[1.0],
-                question=["q"], solution=["<answer>three</answer>"],
+                question=["q"], solution=[solution],
             )
             assert isinstance(out, list) and len(out) == 1, name
 

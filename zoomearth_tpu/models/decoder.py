@@ -72,9 +72,16 @@ def _attn_layer(
 ):
     B, S, _ = x.shape
     H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    q = (qdot(x, p["wq"]) + p["bq"]).reshape(B, S, H, D)
-    k = (qdot(x, p["wk"]) + p["bk"]).reshape(B, S, Hkv, D)
-    v = (qdot(x, p["wv"]) + p["bv"]).reshape(B, S, Hkv, D)
+    if "wqkv" in p:
+        # fused serving layout (ops.quant.fuse_decoder_matmuls): one matmul, then split
+        qkv = qdot(x, p["wqkv"]) + p["bqkv"]
+        q = qkv[..., : H * D].reshape(B, S, H, D)
+        k = qkv[..., H * D : (H + Hkv) * D].reshape(B, S, Hkv, D)
+        v = qkv[..., (H + Hkv) * D :].reshape(B, S, Hkv, D)
+    else:
+        q = (qdot(x, p["wq"]) + p["bq"]).reshape(B, S, H, D)
+        k = (qdot(x, p["wk"]) + p["bk"]).reshape(B, S, Hkv, D)
+        v = (qdot(x, p["wv"]) + p["bv"]).reshape(B, S, Hkv, D)
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
 
@@ -139,6 +146,10 @@ def _attn_layer(
 
 
 def _mlp(p, x):
+    if "wgu" in p:  # fused serving layout: one gate|up matmul, then split
+        gu = qdot(x, p["wgu"])
+        F = gu.shape[-1] // 2
+        return qdot(jax.nn.silu(gu[..., :F]) * gu[..., F:], p["wd"])
     return qdot(jax.nn.silu(qdot(x, p["wg"])) * qdot(x, p["wu"]), p["wd"])
 
 

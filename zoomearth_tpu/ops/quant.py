@@ -55,18 +55,56 @@ def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
 
 def quantize_decoder_int8(params):
     """Quantize the text-decoder layer matmuls in a param tree (returns a new tree;
-    norms/biases/embedding untouched)."""
+    norms/biases/embedding untouched). Handles both the plain layout (wq/wk/wv, wg/wu)
+    and the fused serving layout from `fuse_decoder_matmuls` (wqkv, wgu)."""
     out = {"vision": params["vision"], "text": dict(params["text"])}
     new_layers = []
     for layer in params["text"]["layers"]:
         nl = {"input_ln": layer["input_ln"], "post_ln": layer["post_ln"]}
         attn = dict(layer["attn"])
-        for k in ("wq", "wk", "wv", "wo"):
-            attn[k] = quantize_int8(layer["attn"][k])
+        for k in ("wq", "wk", "wv", "wo", "wqkv"):
+            if k in attn:
+                attn[k] = quantize_int8(attn[k])
         mlp = {k: quantize_int8(v) for k, v in layer["mlp"].items()}
         nl["attn"] = attn
         nl["mlp"] = mlp
         new_layers.append(nl)
+    out["text"]["layers"] = new_layers
+    return out
+
+
+def fuse_decoder_matmuls(params):
+    """Serving-time layout transform: concat the attention input projections
+    (wq|wk|wv -> wqkv, biases likewise) and the MLP gate/up (wg|wu -> wgu) along the
+    output dim.
+
+    Decode dispatches fewer, larger matmuls per layer (7 -> 5): each XLA op carries
+    fixed scheduling overhead, and at decode batch sizes the q/k/v matmuls are tiny
+    (B x 2048 @ 2048 x {2048,256,256}) — one B x 2048 @ 2048 x 2560 streams the same
+    bytes in one op. Numerics are IDENTICAL: x @ concat(A,B) == concat(x@A, x@B), and
+    int8 per-output-column scales are preserved under output-dim concat (quantize after
+    fusing == quantize then fuse). Compose as fuse -> quantize_decoder_int8.
+
+    Replaces nothing in training; the trainers keep the split layout (checkpoint
+    compatibility + per-matrix LoRA)."""
+    out = {"vision": params["vision"], "text": dict(params["text"])}
+    new_layers = []
+    for layer in params["text"]["layers"]:
+        a = layer["attn"]
+        if "wqkv" in a:  # already fused
+            new_layers.append(layer)
+            continue
+        attn = {
+            "wqkv": jnp.concatenate([a["wq"], a["wk"], a["wv"]], axis=1),
+            "bqkv": jnp.concatenate([a["bq"], a["bk"], a["bv"]], axis=0),
+            "wo": a["wo"],
+        }
+        m = layer["mlp"]
+        mlp = {"wgu": jnp.concatenate([m["wg"], m["wu"]], axis=1), "wd": m["wd"]}
+        new_layers.append({
+            "input_ln": layer["input_ln"], "post_ln": layer["post_ln"],
+            "attn": attn, "mlp": mlp,
+        })
     out["text"]["layers"] = new_layers
     return out
 

@@ -53,9 +53,12 @@ def internvl_iou_reward(completion1: Sequence[str], completion2: Sequence[str] =
     rewards = []
     for i, c in enumerate(completion1):
         reward = 0.0
+        # Ground-truth parsing stays OUTSIDE the try (reference internvl_module.py
+        # parses the solution before the guarded block): a malformed solution is a
+        # dataset bug that must raise, not silently zero every reward.
+        sol_txt = re.findall(_ANSWER_TAG, solutions[i], re.DOTALL)[-1]
+        sol = json.loads(sol_txt.strip())
         try:
-            sol_txt = re.findall(_ANSWER_TAG, solutions[i], re.DOTALL)[-1]
-            sol = json.loads(sol_txt.strip())
             m = re.search(_ANSWER_TAG, c or "", re.DOTALL)
             if m:
                 bm = re.search(_BBOX_PATTERN, m.group(1).strip())

@@ -193,6 +193,10 @@ class ServingEngine:
         self.prefix_store: Dict[str, _PrefixEntry] = {}
         self.max_prefixes = 64  # pool rows (~12 MB/row at 3B scale / 512-token cap)
         self.prefix_cap = 512  # longest cacheable prefix span (tokens)
+        # Explicit free-list of pool rows: len(prefix_store) is NOT a safe allocator —
+        # a duplicate save of a live key would burn a fresh index without growing the
+        # dict, and the next distinct key would then alias a live row's KV.
+        self._free_prefix_rows = list(range(self.max_prefixes - 1, -1, -1))
         self._ppool = None  # lazily allocated (k_tuple, v_tuple) of (P, Hkv, cap, D)
         # ViT compiled separately (keyed by patch bucket via jit shape caching) so every
         # prompt-shape variant of the pool prefill shares one compiled vision tower
@@ -203,7 +207,15 @@ class ServingEngine:
         self._running = False
         self.stats = {"completed": 0, "decode_steps": 0, "prefills": 0,
                       "prefill_rows": 0, "prefix_hits": 0, "prefix_saves": 0}
+        # wall-clock phase accounting (host thread time, includes device wait):
+        # where do engine ticks actually go? read via stats_timing()
+        self._phase_s = collections.defaultdict(float)
         self._latencies = collections.deque(maxlen=1024)  # submit -> completion, seconds
+
+    def stats_timing(self):
+        """Cumulative seconds per engine phase (prefill_host, vit, prefix_apply,
+        prefill_device, decode_device, retire) — diagnosis for the engine-vs-wave gap."""
+        return {k: round(v, 3) for k, v in sorted(self._phase_s.items())}
 
     def latency_percentiles(self):
         """p50/p95 request latency over the last 1024 completions (the north-star
@@ -356,12 +368,17 @@ class ServingEngine:
         Tp = len(token_ids)
         if Tp > self.prefix_cap:
             return
+        if key in self.prefix_store:
+            # already cached (e.g. two same-prefix requests admitted in one batch both
+            # missed and both carry save_prefix) — keep the existing entry
+            self.prefix_store[key].last_used = time.time()
+            return
         self._ensure_ppool()
-        if len(self.prefix_store) >= self.max_prefixes:
+        if self._free_prefix_rows:
+            idx = self._free_prefix_rows.pop()
+        else:
             lru = min(self.prefix_store, key=lambda k: self.prefix_store[k].last_used)
             idx = self.prefix_store.pop(lru).index
-        else:
-            idx = len(self.prefix_store)
         fn_key = ("harvest_prefix", Tp)
         if fn_key not in self._prefill_fns:
             self._prefill_fns[fn_key] = jax.jit(
@@ -448,6 +465,7 @@ class ServingEngine:
 
     def _run_prefill_batch(self, rows: List[_PrefillRow]):
         """One batched pool prefill for up to max_slots prepared rows."""
+        t_start = time.time()
         cfg = self.cfg
         B = self.max_slots
         rows = sorted(rows, key=lambda r: r.slot)  # vision embeds splice in slot order
@@ -481,6 +499,8 @@ class ServingEngine:
             all_pv.extend(x for x, _ in r.images)
             all_grids.extend(grids)
 
+        self._phase_s["prefill_host_prep"] += time.time() - t_start
+        t_dev = time.time()
         vision_embeds = None
         n_emb = 0
         if all_pv:
@@ -538,6 +558,9 @@ class ServingEngine:
                     list(r.request.token_ids[: r.request.prefix_len]), r.prefix_next_pos,
                 )
         first = np.asarray(tok)  # one small readback per BATCH, not per request
+        # device total: ViT + prefix apply + pool prefill + prefix harvest, measured
+        # to the blocking first-token readback
+        self._phase_s["prefill_device"] += time.time() - t_dev
         for r in rows:
             b = r.slot
             t = int(first[b])
@@ -590,6 +613,7 @@ class ServingEngine:
             except queue.Empty:
                 if admissible and not debounced and self.admission_debounce_s > 0:
                     debounced = True
+                    self._phase_s["debounce_sleep"] += self.admission_debounce_s
                     time.sleep(self.admission_debounce_s)
                     continue
                 break
@@ -620,6 +644,7 @@ class ServingEngine:
             self._run_prefill_batch(rows)
         if not self.active.any():
             return False
+        t_dec = time.time()
         temps = np.array(
             [s.request.temperature if s.request else 0.0 for s in self.slots], np.float32
         )
@@ -629,7 +654,11 @@ class ServingEngine:
             jnp.asarray(self.active), jnp.asarray(temps), sub, self.params,
         )
         toks = np.asarray(toks)
+        self._phase_s["decode_device"] += time.time() - t_dec
         self.stats["decode_steps"] += self.decode_chunk
+        # decode-slot utilization: live rows per executed step (each chunk steps ALL
+        # max_slots rows; finished/idle rows burn the same device time)
+        self._phase_s["decode_live_row_steps"] += float(self.active.sum()) * self.decode_chunk
         for slot_idx in range(self.max_slots):
             if not self.active[slot_idx]:
                 continue

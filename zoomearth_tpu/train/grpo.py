@@ -114,17 +114,18 @@ class RolloutBatch:
 
 
 def _first_stop_mask(ids: np.ndarray, start: np.ndarray, stops: Sequence[int]) -> np.ndarray:
-    """mask[i, t] = 1 for start[i] <= t <= first stop token at/after start (incl.)."""
+    """mask[i, t] = 1 for start[i] <= t <= first stop token at/after start (incl.).
+
+    Vectorized: an O(N*S) pure-Python double loop here ran every rollout under the
+    training loop (~4M iterations at N=batch*G, S=2048 — real seconds on a 1-core
+    host)."""
     N, S = ids.shape
-    mask = np.zeros((N, S), dtype=np.int32)
-    for i in range(N):
-        end = S
-        for t in range(int(start[i]), S):
-            if ids[i, t] in stops:
-                end = t + 1
-                break
-        mask[i, int(start[i]):end] = 1
-    return mask
+    t = np.arange(S)[None, :]
+    after_start = t >= start[:, None].astype(np.int64)
+    is_stop = np.isin(ids, np.asarray(list(stops))) & after_start
+    # index of the first stop at/after start (S when none)
+    first_stop = np.where(is_stop.any(1), is_stop.argmax(1), S)
+    return (after_start & (t <= first_stop[:, None])).astype(np.int32)
 
 
 def per_token_logps(
@@ -229,8 +230,24 @@ class GRPOTrainer:
         length_buckets=DEFAULT_LENGTH_BUCKETS,
         patch_buckets=DEFAULT_PATCH_BUCKETS,
         cache_dtype=None,
+        rollout_engine=None,
     ):
+        """rollout_engine: optional serve.engine.ServingEngine used as the rollout
+        actor instead of the in-process Generator — the reference's decoupled-engine
+        trainer (vllm_grpo_trainer.py:409-420: colocated vLLM engine + weight push
+        :531-546). Stage 1 maps to a hold_slot request, stage 2 to a Continuation on
+        the held KV; the weight push is a same-HBM pointer handoff (engine.params =
+        self.params) instead of a state_dict copy. Episodes pipeline through the
+        engine's continuous batching (host crops overlap other rows' decode)."""
         if grpo_cfg.use_lora:
+            if grpo_cfg.sync_ref_model:
+                # Under LoRA the KL reference IS the frozen base (strip_lora of the
+                # live params, re-taken every step) — a TR-DPO mixup would blend the
+                # base with itself, and the two trees don't even share leaf structure.
+                raise ValueError(
+                    "sync_ref_model (TR-DPO) is incompatible with use_lora: the LoRA "
+                    "reference policy is the frozen base model by construction"
+                )
             from .lora import apply_lora
 
             params = apply_lora(params, jax.random.key(0),
@@ -245,6 +262,7 @@ class GRPOTrainer:
             params, cfg, max_cache_len=max_cache_len,
             cache_dtype=cache_dtype or jnp.dtype(cfg.dtype),
         )
+        self.rollout_engine = rollout_engine
         self.image_loader = image_loader
         self.length_buckets = length_buckets
         self.patch_buckets = patch_buckets
@@ -343,6 +361,18 @@ class GRPOTrainer:
             for t, im in zip(prompts_text, stage1_images)
         ]
         prompt1_lens = [len(ids) for ids, _ in enc1]
+        if self.rollout_engine is not None:
+            # decoupled-actor path (the reference's vLLM-trainer architecture):
+            # episodes pipeline through the serving engine's continuous batching
+            (out1_tokens, completions1, completions2, scales, s2_idx,
+             s2_prefix_tokens, s2_chunks, s2_chunk_imgs, out2_tokens_by_row) = (
+                self._engine_rollout(rep, full_images, stage1_images, enc1)
+            )
+            return self._stitch_rollout(
+                rep, enc1, prompt1_lens, out1_tokens, completions1, completions2,
+                scales, s2_idx, s2_prefix_tokens, s2_chunks, s2_chunk_imgs,
+                [], [], out2_tokens_by_row, chunked=True,
+            )
         batch1 = prepare_batch(
             cfg, [ids for ids, _ in enc1], [imgs for _, imgs in enc1],
             length_buckets=self.length_buckets, patch_buckets=self.patch_buckets,
@@ -382,13 +412,8 @@ class GRPOTrainer:
             crop = resize_image(cut_image(full, box), self.grpo.stage1_image_size, min_side=30)
             s2_idx.append(i)
             if self.grpo.reuse_cache:
-                from ..agent.episode import split_kept_tokens
-
-                raw = tk.decode(out1_tokens[i], skip_special_tokens=False)
-                kept, residual = split_kept_tokens(tk, out1_tokens[i], raw.split("<answer>")[0])
-                crop_prepped = self.processor.preprocess_images([crop])
-                chunk = (tk.encode(residual) if residual else []) + self.processor.expand_image_pads(
-                    tk.encode(PT.VISION_TOKENS), [crop_prepped[0][1]]
+                kept, residual, chunk, crop_prepped = self._build_stage2_chunk(
+                    out1_tokens[i], crop
                 )
                 s2_prefix_tokens.append(kept)
                 s2_chunks.append(chunk)
@@ -439,14 +464,119 @@ class GRPOTrainer:
                 out2_tokens_by_row[i] = out2_tokens[j]
                 completions2[i] = tk.decode(out2_tokens[j]).strip()
 
-        # ---- stitch training sequences ----
+        return self._stitch_rollout(
+            rep, enc1, prompt1_lens, out1_tokens, completions1, completions2,
+            scales, s2_idx, s2_prefix_tokens, s2_chunks, s2_chunk_imgs,
+            s2_token_lists, s2_images, out2_tokens_by_row,
+            chunked=self.grpo.reuse_cache,
+        )
+
+    def _build_stage2_chunk(self, out1_tokens_i, crop):
+        """Host-side stage-2 continuation pieces: (kept stage-1 tokens, residual text,
+        chunk ids = residual + expanded crop vision tokens, preprocessed crop)."""
+        from ..agent.episode import split_kept_tokens
+
+        tk = self.processor.tokenizer
+        raw = tk.decode(out1_tokens_i, skip_special_tokens=False)
+        kept, residual = split_kept_tokens(tk, out1_tokens_i, raw.split("<answer>")[0])
+        crop_prepped = self.processor.preprocess_images([crop])
+        chunk = (tk.encode(residual) if residual else []) + self.processor.expand_image_pads(
+            tk.encode(PT.VISION_TOKENS), [crop_prepped[0][1]]
+        )
+        return kept, residual, chunk, crop_prepped
+
+    def _engine_rollout(self, rep, full_images, stage1_images, enc1):
+        """Rollouts through the decoupled ServingEngine actor (the reference's
+        vllm_grpo_trainer architecture, vllm_grpo_trainer.py:409-420,531-575):
+        stage 1 = hold_slot request, stage 2 = Continuation on the held KV. The weight
+        push is `engine.params = self.params` — the engine's jitted programs take the
+        param tree as an argument, so the handoff is a pointer swap in the same HBM
+        (no state_dict copy, no broadcast: SPMD + single-controller).
+
+        Completions are processed in submission order; each row's crop + chunk build
+        happens while other rows keep decoding in the engine (continuous batching), and
+        released slots backfill queued rows, so N may exceed engine.max_slots."""
+        from ..serve.engine import Continuation, Request
+
+        eng = self.rollout_engine
+        tk = self.processor.tokenizer
+        eng.params = self.params  # weight push == same-HBM pointer handoff
+        was_running = eng._running
+        if not was_running:
+            eng.start()
+        N = len(rep)
+        temp = self.grpo.rollout_temperature
+        try:
+            for i in range(N):
+                ids, prepped = enc1[i]
+                eng.submit(Request(
+                    request_id=f"grpo{i}-s1", token_ids=list(ids), images=list(prepped),
+                    max_tokens=self.grpo.max_completion_length, temperature=temp,
+                    hold_slot=True,
+                ))
+            out1_tokens: List[List[int]] = [[] for _ in range(N)]
+            completions1 = [""] * N
+            completions2 = [""] * N
+            scales = [1.0] * N
+            s2_idx: List[int] = []
+            s2_prefix_tokens: List[List[int]] = []
+            s2_chunks: List[List[int]] = []
+            s2_chunk_imgs: List[List] = []
+            for i in range(N):
+                c1 = eng.get_completion(f"grpo{i}-s1", timeout=3600)
+                out1_tokens[i] = list(c1.token_ids)
+                completions1[i] = tk.decode(c1.token_ids).strip()
+                s = rep[i]
+                if not s.bbox or full_images[i] is None:
+                    eng.release_slot(f"grpo{i}-s1")
+                    continue
+                boxes = extract_bboxes_float(completions1[i])
+                w0, h0 = stage1_images[i].size
+                box = boxes[0] if boxes else [0, 0, w0, h0]  # whole-image fallback
+                full = full_images[i]
+                scale = max(max(full.width, full.height) / self.grpo.stage1_image_size, 1)
+                scales[i] = scale
+                box = [p * scale for p in box]
+                crop = resize_image(cut_image(full, box), self.grpo.stage1_image_size, min_side=30)
+                kept, _, chunk, crop_prepped = self._build_stage2_chunk(out1_tokens[i], crop)
+                s2_idx.append(i)
+                s2_prefix_tokens.append(kept)
+                s2_chunks.append(chunk)
+                s2_chunk_imgs.append(crop_prepped)
+                eng.submit_continuation(Continuation(
+                    parent_request_id=f"grpo{i}-s1", request_id=f"grpo{i}-s2",
+                    chunk_ids=chunk, images=crop_prepped, kept_tokens=len(kept),
+                    max_tokens=self.grpo.stage2_max_completion_length, temperature=temp,
+                ))
+            out2_tokens_by_row: Dict[int, List[int]] = {}
+            for i in s2_idx:
+                c2 = eng.get_completion(f"grpo{i}-s2", timeout=3600)
+                out2_tokens_by_row[i] = list(c2.token_ids)
+                completions2[i] = tk.decode(c2.token_ids).strip()
+        finally:
+            if not was_running:
+                eng.stop()
+        return (out1_tokens, completions1, completions2, scales, s2_idx,
+                s2_prefix_tokens, s2_chunks, s2_chunk_imgs, out2_tokens_by_row)
+
+    def _stitch_rollout(
+        self, rep, enc1, prompt1_lens, out1_tokens, completions1, completions2,
+        scales, s2_idx, s2_prefix_tokens, s2_chunks, s2_chunk_imgs,
+        s2_token_lists, s2_images, out2_tokens_by_row, *, chunked,
+    ) -> RolloutBatch:
+        """Stitch training sequences + rewards + grouped advantages + old/ref logps.
+
+        chunked=True: stage-2 rows were generated as KV-reuse continuations (prompt +
+        kept stage-1 prefix + crop chunk); False: full re-tokenized stage-2 prompts."""
+        cfg = self.cfg
+        G = self.grpo.num_generations
         train_ids_list: List[List[int]] = []
         train_imgs: List[List] = []
         for i in range(len(rep)):
-            prompt_ids = [int(t) for t in np.asarray(batch1.input_ids[i][: batch1.lengths[i]])]
+            prompt_ids = [int(t) for t in enc1[i][0]]
             if completions2[i] != "":
                 j = s2_idx.index(i)
-                if self.grpo.reuse_cache:
+                if chunked:
                     ids = prompt_ids + s2_prefix_tokens[j] + s2_chunks[j]
                     ids += out2_tokens_by_row[i] + [cfg.tokens.endoftext]
                     train_imgs.append(enc1[i][1] + s2_chunk_imgs[j])
