@@ -70,6 +70,9 @@ def main_engine():
 
     cfg = VLMConfig.qwen2_5_vl_3b()
     params = _zero_params(cfg, jnp.bfloat16)
+    from zoomearth_tpu.ops.quant import fuse_decoder_matmuls
+
+    params = fuse_decoder_matmuls(params)  # serving layout: fewer decode dispatches
     if os.environ.get("BENCH_NO_INT8") != "1":
         from zoomearth_tpu.ops.quant import quantize_decoder_int8
 
@@ -155,6 +158,9 @@ def main():
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
 
     params = _zero_params(cfg, jnp.bfloat16)
+    from zoomearth_tpu.ops.quant import fuse_decoder_matmuls
+
+    params = fuse_decoder_matmuls(params)  # serving layout: fewer decode dispatches
     if os.environ.get("BENCH_NO_INT8") != "1":
         from zoomearth_tpu.ops.quant import quantize_decoder_int8
 
@@ -240,29 +246,32 @@ def main():
     run_wave(build_stage1(0), 1)
     print(f"warmup 2 (steady-state check): {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # Timed region with an outlier guard: a wave >1.4x the median of the others means
-    # something non-steady-state leaked in (a fresh compile, a tunnel stall) — re-run
-    # it rather than publishing it as throughput. Up to 3 retries, loudly logged.
-    MAX_EXTRA = 3
-    wave_times = []
+    # Timed region with a steady-state guard: the reported number is the last WAVES
+    # consecutive waves that agree within 1.3x (max/min). A slow head (residual
+    # compile/warmup, tunnel stall, host contention) or a late outlier both force
+    # extra waves instead of polluting the scoreboard. Up to MAX_EXTRA extra waves.
+    MAX_EXTRA = 4
+    window: list = []
     w = 0
-    extra = 0
     # stage-1 preprocessing for wave n+1 overlaps the device work of wave n
     loader = iter(PrefetchLoader(range(WAVES + MAX_EXTRA), build_stage1, depth=1))
-    while len(wave_times) < WAVES:
+    while True:
         prebuilt = next(loader)
         tw = time.time()
         run_wave(prebuilt, w + 2)
         dt_w = time.time() - tw
         w += 1
-        others = wave_times if wave_times else [dt_w]
-        med = float(np.median(others))
-        if wave_times and dt_w > 1.4 * med and extra < MAX_EXTRA:
-            extra += 1
-            print(f"  wave {w}: {dt_w:.2f}s > 1.4x median {med:.2f}s — "
-                  f"non-steady-state outlier, re-running", file=sys.stderr)
-            continue
-        wave_times.append(dt_w)
+        window.append(dt_w)
+        if len(window) > WAVES:
+            dropped = window.pop(0)
+            print(f"  dropping non-steady wave: {dropped:.2f}s", file=sys.stderr)
+        if len(window) == WAVES and max(window) <= 1.3 * min(window):
+            break
+        if w >= WAVES + MAX_EXTRA:
+            print(f"  WARN: no steady window after {w} waves — reporting last {WAVES}",
+                  file=sys.stderr)
+            break
+    wave_times = window
     dt = sum(wave_times)
     qps = BATCH * WAVES / dt
     times_str = ", ".join(f"{t:.2f}" for t in wave_times)

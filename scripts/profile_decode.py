@@ -99,6 +99,7 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--mode", default="full")
     ap.add_argument("--dtype", default="int8")
+    ap.add_argument("--fuse", action="store_true", help="fuse_decoder_matmuls layout")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -109,6 +110,9 @@ def main():
     cfg = VLMConfig.qwen2_5_vl_3b()
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     params = _zero_params(cfg, jnp.bfloat16)
+    if args.fuse:
+        from zoomearth_tpu.ops.quant import fuse_decoder_matmuls
+        params = fuse_decoder_matmuls(params)
     if args.dtype == "int8":
         from zoomearth_tpu.ops.quant import quantize_decoder_int8
         params = quantize_decoder_int8(params)

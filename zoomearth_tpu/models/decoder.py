@@ -28,6 +28,17 @@ def _use_flash() -> bool:
 
     return jax.default_backend() == "tpu" and not os.environ.get("ZOOMEARTH_NO_FLASH")
 
+
+def _use_flash_decode() -> bool:
+    # OPT-IN (ZOOMEARTH_FLASH_DECODE=1): standalone the Pallas decode kernel beats the
+    # XLA attention chain (65 vs 75 us/call at B=32), but inside the full decode loop
+    # it LOSES (11.0 vs 9.8 ms/step) — the pallas_call boundary blocks XLA from
+    # overlapping neighbor weight streams. Kept for long-context/high-slot regimes
+    # where its length-proportional cache reads dominate scheduling effects.
+    import os
+
+    return jax.default_backend() == "tpu" and os.environ.get("ZOOMEARTH_FLASH_DECODE") == "1"
+
 from .rope import apply_rotary, mrope_cos_sin
 from .vit import rms_norm
 
@@ -104,6 +115,13 @@ def _attn_layer(
         # cache layout: (B, Hkv, T, D) — scatter the (B, S, Hkv, D) projections in
         # kv-head-major order at each row's cache_len
         k_cache, v_cache = cache_kv
+        if write_pos is None and S == 1:
+            # Single-token decode writes ALWAYS go through the drop-mode scatter: the
+            # vmap'd dynamic_update_slice below lowers to ~69 us per layer-call on v5e
+            # (~2.5 ms/step across 36 layers, measured via carry-threaded scan A/B)
+            # while this scatter is free; it also DROPS out-of-range writes instead of
+            # clamping them onto valid kv (length-overrun safety for idle engine rows).
+            write_pos = cache_len[:, None]
         if write_pos is not None:
             # Explicit per-token write slots (chunk prefill): out-of-range positions
             # (>= T) are DROPPED — this is how pad tokens and non-participating rows
@@ -121,7 +139,13 @@ def _attn_layer(
             v_cache = scatter(v_cache, vT, idx)
         if S == 1:
             # Single-step decode: attend over the prefix + the new token.
-            out = decode_attention(q, k_cache, v_cache, kv_len=cache_len + 1)
+            T = k_cache.shape[2]
+            if _use_flash_decode() and T % 512 == 0 and D % 128 == 0:
+                from ..ops.flash_decode import flash_decode_attention
+
+                out = flash_decode_attention(q, k_cache, v_cache, cache_len + 1)
+            else:
+                out = decode_attention(q, k_cache, v_cache, kv_len=cache_len + 1)
         elif use_flash:
             # Large-batch chunk prefill: XLA's masked attention materializes a
             # (B, H, S, T) fp32 logits tensor (3.5 GB at B=48/S=768/T=1536 — OOM);
