@@ -30,10 +30,11 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))  # decode reads all 3B weights once
-# per step regardless of batch; at ~600 GB/s effective HBM that floor is ~5 ms/step
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))  # decode reads all 3B weights once
+# per step regardless of batch; at ~700 GB/s effective HBM that floor is ~5 ms/step
 # (int8), so batching is the main throughput lever (KV-cache reads grow with batch but
-# stay secondary: +0.9 GB/step per 16 slots at 1536 ctx)
+# stay secondary). Measured r3 sweep: 32 -> 4.36, 48 -> 4.51, 64 -> 4.99 q/s;
+# 80/96 OOM (4.5+ GB cache + int8 params + prefill temps)
 STAGE1_NEW = 160
 STAGE2_NEW = 96
 WAVES = 3  # timed waves (after one warmup/compile wave)
@@ -185,6 +186,8 @@ def main():
     ]
 
     def build_stage1(_wave):
+        import dataclasses
+
         token_lists, images = [], []
         for pv, grid in stage1_prepped:
             n_img = (grid[0] * grid[1] * grid[2]) // cfg.vision.merge_unit
@@ -195,7 +198,19 @@ def main():
             )
             token_lists.append(ids)
             images.append([(pv, grid)])
-        return prepare_batch(cfg, token_lists, images), token_lists, images
+        b = prepare_batch(cfg, token_lists, images)
+        # Async host->device upload INSIDE the prefetch thread: wave n+1's ~77 MB of
+        # uint8 patches (plus ids/positions) ride the DMA under wave n's compute —
+        # measured 0.8-1.0 s per wave through the tunnel otherwise. Generator's
+        # jnp.asarray on an already-device array is a no-op.
+        b = dataclasses.replace(
+            b,
+            input_ids=jax.device_put(b.input_ids),
+            position_ids=jax.device_put(b.position_ids),
+            pixel_values=jax.device_put(b.pixel_values),
+            vision_meta={k: jax.device_put(v) for k, v in b.vision_meta.items()},
+        )
+        return b, token_lists, images
 
     def build_stage2_chunks(out1_tokens, b1):
         """Continuation chunks: ONLY the crop's vision tokens (stage-1 prompt +
