@@ -85,6 +85,9 @@ def main_engine():
                            cache_dtype=jnp.bfloat16,
                            length_buckets=(384, 768), patch_buckets=(0, 4096, 24576))
     engine.admit_min_batch = 4  # batch-eval traffic: coalesce trickled admissions
+    # two row widths only: every (RB, S, n_emb) combination is a multi-minute remote
+    # compile; 8 covers continuation/backfill trickle, max_slots covers the bursts
+    engine.row_buckets = (8,)
     proc = Processor(FakeTokenizer(cfg.tokens), cfg, max_pixels=512 * 512)
     # random weights emit no bbox: force the stage-2 path like the wave bench does
     EP.extract_bboxes = lambda text, scale=1.0: [[2200, 2200, 2380, 2350]]
@@ -166,7 +169,12 @@ def main():
         from zoomearth_tpu.ops.quant import quantize_decoder_int8
 
         params = quantize_decoder_int8(params)  # serving default: weight-only int8
-    gen = Generator(params, cfg, max_cache_len=1536, cache_dtype=jnp.bfloat16)
+    # int8 KV cache (BENCH_KV_INT8=1): halves cache HBM (capacity lever) but MEASURED
+    # SLOWER per decode step on v5e (21.3 vs 15.0 ms at B=64 — XLA lowers the batched
+    # int8 cache dot through a materialized bf16 convert instead of streaming int8).
+    # Default stays bf16; int8 KV remains the documented long-context/capacity option.
+    cache_dtype = jnp.int8 if os.environ.get("BENCH_KV_INT8") == "1" else jnp.bfloat16
+    gen = Generator(params, cfg, max_cache_len=1536, cache_dtype=cache_dtype)
     tiles = [TileImage(synthetic_tile(i)) for i in range(BATCH)]
     rng = np.random.default_rng(0)
 

@@ -92,3 +92,25 @@ def test_append_then_attend():
     want = decode_attention(jnp.asarray(q[:, None]), jnp.asarray(k), jnp.asarray(v),
                             kv_len=jnp.asarray(lengths + 1))[:, 0]
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_append_at_capacity_is_dropped():
+    """A row at full capacity (lengths == max_pages*page_size) must not corrupt any
+    page: the block-table gather is masked before indexing (it would otherwise clamp
+    to the last page and overwrite its slot 0)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    P, Hkv, page, D, B, max_pages = 6, 2, 8, 16, 2, 2
+    kpool = jnp.asarray(rng.standard_normal((P, Hkv, page, D)), jnp.float32)
+    vpool = jnp.asarray(rng.standard_normal((P, Hkv, page, D)), jnp.float32)
+    bt = jnp.asarray([[0, 1], [2, 3]], jnp.int32)
+    k_new = jnp.ones((B, Hkv, D), jnp.float32)
+    v_new = jnp.ones((B, Hkv, D), jnp.float32)
+    lengths = jnp.asarray([max_pages * page, 3], jnp.int32)  # row 0 FULL, row 1 normal
+    kp2, vp2 = append_to_pages(kpool, vpool, k_new, v_new, bt, lengths, page_size=page)
+    # row 0's pages (0 and 1) untouched
+    np.testing.assert_array_equal(np.asarray(kp2[:2]), np.asarray(kpool[:2]))
+    np.testing.assert_array_equal(np.asarray(vp2[:2]), np.asarray(vpool[:2]))
+    # row 1 wrote at page 2 (pos 3 // 8 = 0 -> bt[1,0]=2), slot 3
+    np.testing.assert_array_equal(np.asarray(kp2[2, :, 3]), np.ones((Hkv, D)))

@@ -88,3 +88,41 @@ def test_fused_matmuls_bit_identical():
     np.testing.assert_array_equal(np.asarray(hq_split), np.asarray(hq_fused))
     # idempotent
     assert fuse_decoder_matmuls(fused)["text"]["layers"][0] is l0
+
+
+def test_int8_kv_cache_generation():
+    """int8 KV cache (per-token scales): greedy decode should closely track the bf16
+    cache (exact scaled-einsum algebra; only the int8 rounding of cached kv differs)."""
+    from zoomearth_tpu.runtime.generate import GenerationConfig, Generator, prepare_batch
+
+    params = init_vlm_params(jax.random.key(3), CFG)
+    rng = np.random.default_rng(2)
+    tl = [[CFG.tokens.im_start] + list(rng.integers(1, 400, size=12)) for _ in range(2)]
+    b = prepare_batch(CFG, tl, [[], []], length_buckets=(32,), patch_buckets=(0,))
+    g = GenerationConfig(max_new_tokens=10, temperature=0.0)
+    out_f = Generator(params, CFG, max_cache_len=64, cache_dtype="float32").generate(b, g)
+    out_q = Generator(params, CFG, max_cache_len=64, cache_dtype="int8").generate(b, g)
+    # near-uniform random-model logits are the worst case; require early-token agreement
+    agree = sum(a == c for rf, rq in zip(out_f, out_q) for a, c in zip(rf[:4], rq[:4]))
+    assert agree >= 4  # of 8 compared
+
+
+def test_int8_kv_continuation():
+    """Two-stage KV-reuse continuation over an int8 cache (scale-aware chunk prefill)."""
+    from zoomearth_tpu.runtime.generate import (
+        GenerationConfig, Generator, prepare_batch, prepare_continuation,
+    )
+
+    params = init_vlm_params(jax.random.key(4), CFG)
+    rng = np.random.default_rng(5)
+    tl = [list(rng.integers(1, 400, size=10)) for _ in range(2)]
+    b = prepare_batch(CFG, tl, [[], []], length_buckets=(16,), patch_buckets=(0,))
+    gen = Generator(params, CFG, max_cache_len=64, cache_dtype="int8")
+    g1 = GenerationConfig(max_new_tokens=6, temperature=0.0)
+    out1, cache = gen.generate(b, g1, return_cache=True)
+    chunks = [list(rng.integers(1, 400, size=4)) for _ in range(2)]
+    keep = np.asarray([int(b.lengths[i]) + len(out1[i]) for i in range(2)], np.int32)
+    starts = [int(b.next_pos[i]) + len(out1[i]) for i in range(2)]
+    bc = prepare_continuation(CFG, chunks, [[], []], starts, length_buckets=(16,), patch_buckets=(0,))
+    out2 = gen.continue_generate(cache, bc, keep, GenerationConfig(max_new_tokens=5, temperature=0.0))
+    assert len(out2) == 2 and all(isinstance(r, list) for r in out2)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TextConfig
-from ..ops.attention import causal_attention, decode_attention
+from ..ops.attention import causal_attention, decode_attention, decode_attention_q8
 from ..ops.quant import qdot
 
 
@@ -51,21 +51,46 @@ class KVCache(NamedTuple):
     Layout note: the two MINOR dims must be (T, D) — TPU HBM tiles the last two dims
     to (8, 128)-multiples, so a (..., Hkv=2, 128) minor layout physically pads Hkv to 8
     and quadruples both cache footprint and decode-step cache reads (measured ~3 ms/step
-    at batch 16 x 1536 ctx on v5e)."""
+    at batch 16 x 1536 ctx on v5e).
+
+    int8 mode (create(dtype=jnp.int8), the vLLM kv-cache-dtype=int8 equivalent): k/v
+    hold per-token-quantized values and kscale/vscale (B, Hkv, T) bf16 the per-token
+    scales. Decode attention stays EXACT w.r.t. the quantized values: per-token scales
+    commute through both attention matmuls (logits *= ks per column; p *= vs before
+    p@v), so the int8 values feed the MXU directly and the hot loop reads half the
+    cache bytes. Halves footprint too (unlocks larger slot counts before OOM)."""
 
     k: Tuple[jnp.ndarray, ...]
     v: Tuple[jnp.ndarray, ...]
     length: jnp.ndarray  # (B,) valid entries
+    kscale: Optional[Tuple[jnp.ndarray, ...]] = None  # (B, Hkv, T) per-token, int8 mode
+    vscale: Optional[Tuple[jnp.ndarray, ...]] = None
 
     @staticmethod
     def create(cfg: TextConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
+        dtype = jnp.dtype(dtype)
         shape = (batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
         L = cfg.num_hidden_layers
+        scales = None
+        if dtype == jnp.int8:
+            scales = tuple(
+                jnp.zeros(shape[:3], jnp.bfloat16) for _ in range(L)
+            )
         return KVCache(
             k=tuple(jnp.zeros(shape, dtype) for _ in range(L)),
             v=tuple(jnp.zeros(shape, dtype) for _ in range(L)),
             length=jnp.zeros((batch,), jnp.int32),
+            kscale=scales,
+            vscale=tuple(jnp.zeros(shape[:3], jnp.bfloat16) for _ in range(L)) if scales is not None else None,
         )
+
+
+def _quantize_kv(x: jnp.ndarray):
+    """(B, S, Hkv, D) -> (int8 values, (B, S, Hkv) bf16 scales), symmetric per token."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
 
 
 def _attn_layer(
@@ -114,7 +139,13 @@ def _attn_layer(
     else:
         # cache layout: (B, Hkv, T, D) — scatter the (B, S, Hkv, D) projections in
         # kv-head-major order at each row's cache_len
-        k_cache, v_cache = cache_kv
+        k_cache, v_cache, ks_cache, vs_cache = cache_kv
+        quant = k_cache.dtype == jnp.int8
+        if quant:
+            k_store, ks_new = _quantize_kv(k)
+            v_store, vs_new = _quantize_kv(v)
+        else:
+            k_store, v_store = k, v
         if write_pos is None and S == 1:
             # Single-token decode writes ALWAYS go through the drop-mode scatter: the
             # vmap'd dynamic_update_slice below lowers to ~69 us per layer-call on v5e
@@ -128,16 +159,29 @@ def _attn_layer(
             # write nothing. The dynamic_update_slice path below instead CLAMPS starts
             # that would overflow, silently shifting the write window onto valid kv.
             bidx = jnp.arange(k_cache.shape[0])[:, None]
-            k_cache = k_cache.at[bidx, :, write_pos, :].set(k.astype(k_cache.dtype), mode="drop")
-            v_cache = v_cache.at[bidx, :, write_pos, :].set(v.astype(v_cache.dtype), mode="drop")
+            k_cache = k_cache.at[bidx, :, write_pos, :].set(k_store.astype(k_cache.dtype), mode="drop")
+            v_cache = v_cache.at[bidx, :, write_pos, :].set(v_store.astype(v_cache.dtype), mode="drop")
+            if quant:
+                ks_cache = ks_cache.at[bidx, :, write_pos].set(ks_new, mode="drop")
+                vs_cache = vs_cache.at[bidx, :, write_pos].set(vs_new, mode="drop")
         else:
-            kT = k.transpose(0, 2, 1, 3)  # (B, Hkv, S, D)
-            vT = v.transpose(0, 2, 1, 3)
+            kT = k_store.transpose(0, 2, 1, 3)  # (B, Hkv, S, D)
+            vT = v_store.transpose(0, 2, 1, 3)
             scatter = jax.vmap(lambda c, x, i: jax.lax.dynamic_update_slice(c, x, (0, i, 0)))
             idx = cache_len  # (B,)
-            k_cache = scatter(k_cache, kT, idx)
-            v_cache = scatter(v_cache, vT, idx)
-        if S == 1:
+            k_cache = scatter(k_cache, kT.astype(k_cache.dtype), idx)
+            v_cache = scatter(v_cache, vT.astype(v_cache.dtype), idx)
+            if quant:
+                scatter1 = jax.vmap(lambda c, x, i: jax.lax.dynamic_update_slice(c, x, (0, i)))
+                ks_cache = scatter1(ks_cache, ks_new.transpose(0, 2, 1), idx)
+                vs_cache = scatter1(vs_cache, vs_new.transpose(0, 2, 1), idx)
+        if S == 1 and quant:
+            # int8 decode attention: int8 values feed the MXU directly; per-token
+            # scales applied to logits columns (K) and to p rows (V) — exact algebra.
+            out = decode_attention_q8(
+                q, k_cache, v_cache, ks_cache, vs_cache, kv_len=cache_len + 1
+            )
+        elif S == 1:
             # Single-step decode: attend over the prefix + the new token.
             T = k_cache.shape[2]
             if _use_flash_decode() and T % 512 == 0 and D % 128 == 0:
@@ -146,25 +190,45 @@ def _attn_layer(
                 out = flash_decode_attention(q, k_cache, v_cache, cache_len + 1)
             else:
                 out = decode_attention(q, k_cache, v_cache, kv_len=cache_len + 1)
-        elif use_flash:
-            # Large-batch chunk prefill: XLA's masked attention materializes a
-            # (B, H, S, T) fp32 logits tensor (3.5 GB at B=48/S=768/T=1536 — OOM);
-            # the Pallas causal kernel streams the kv-head-major cache directly.
-            from ..ops.flash_causal import flash_causal_attention
-
-            out = flash_causal_attention(q, k_cache, v_cache, positions, cache_len + S)
         else:
-            # Chunked prefill into an existing cache (stage-2 continuation): XLA's
-            # fused attention wins at small B*S*T (measured on-TPU).
-            T = k_cache.shape[2]
-            slot = jnp.arange(T)[None, :]
-            valid_t = slot < (cache_len[:, None] + S)
-            # kv position: cache slot order == position order per sequence
-            out = causal_attention(
-                q, k_cache, v_cache,
-                positions=positions, kv_positions=slot, valid=valid_t,
-            )
-        new_kv = (k_cache, v_cache)
+            if quant and use_flash:
+                # int8 chunk prefill: the flash kernel streams int8 values (half the
+                # HBM bytes) and applies the per-token scales in VMEM — a dequantized
+                # (B, Hkv, T, D) bf16 copy per layer would cost ~3.6 GB of extra
+                # traffic per prefill pass at 3B scale (measured: killed the win)
+                from ..ops.flash_causal import flash_causal_attention
+
+                out = flash_causal_attention(
+                    q, k_cache, v_cache, positions, cache_len + S, ks_cache, vs_cache
+                )
+                k_read = v_read = None
+            elif quant:
+                # small-size XLA path: transient dequantized view
+                k_read = k_cache.astype(jnp.bfloat16) * ks_cache[..., None]
+                v_read = v_cache.astype(jnp.bfloat16) * vs_cache[..., None]
+            else:
+                k_read, v_read = k_cache, v_cache
+            if quant and use_flash:
+                pass
+            elif use_flash:
+                # Large-batch chunk prefill: XLA's masked attention materializes a
+                # (B, H, S, T) fp32 logits tensor (3.5 GB at B=48/S=768/T=1536 — OOM);
+                # the Pallas causal kernel streams the kv-head-major cache directly.
+                from ..ops.flash_causal import flash_causal_attention
+
+                out = flash_causal_attention(q, k_read, v_read, positions, cache_len + S)
+            else:
+                # Chunked prefill into an existing cache (stage-2 continuation): XLA's
+                # fused attention wins at small B*S*T (measured on-TPU).
+                T = k_cache.shape[2]
+                slot = jnp.arange(T)[None, :]
+                valid_t = slot < (cache_len[:, None] + S)
+                # kv position: cache slot order == position order per sequence
+                out = causal_attention(
+                    q, k_read, v_read,
+                    positions=positions, kv_positions=slot, valid=valid_t,
+                )
+        new_kv = (k_cache, v_cache, ks_cache, vs_cache)
     out = qdot(out.reshape(B, S, H * D), p["wo"])
     return out, new_kv
 
@@ -203,10 +267,17 @@ def decoder_forward(
         attn_valid = jnp.ones((B, S), jnp.bool_)
     cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
     x = inputs_embeds
-    new_k, new_v = [], []
+    new_k, new_v, new_ks, new_vs = [], [], [], []
+    quant_cache = cache is not None and cache.kscale is not None
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_ln"]["scale"], cfg.rms_norm_eps)
-        cache_kv = (cache.k[i], cache.v[i]) if cache is not None else None
+        cache_kv = None
+        if cache is not None:
+            cache_kv = (
+                cache.k[i], cache.v[i],
+                cache.kscale[i] if quant_cache else None,
+                cache.vscale[i] if quant_cache else None,
+            )
         cache_len = cache.length if cache is not None else None
         attn_out, kv = _attn_layer(
             layer["attn"], cfg, h, cos, sin, attn_positions, attn_valid, cache_kv, cache_len,
@@ -219,11 +290,18 @@ def decoder_forward(
         if cache is not None:
             new_k.append(kv[0])
             new_v.append(kv[1])
+            if quant_cache:
+                new_ks.append(kv[2])
+                new_vs.append(kv[3])
     x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
     new_cache = None
     if cache is not None:
         new_len = cache.length + S if update_cache_len else cache.length
-        new_cache = KVCache(k=tuple(new_k), v=tuple(new_v), length=new_len)
+        new_cache = KVCache(
+            k=tuple(new_k), v=tuple(new_v), length=new_len,
+            kscale=tuple(new_ks) if quant_cache else None,
+            vscale=tuple(new_vs) if quant_cache else None,
+        )
     return x, new_cache
 
 

@@ -109,6 +109,34 @@ def causal_attention(q, k, v, *, positions=None, kv_positions=None, valid=None, 
     return _gqa_sdpa(q, k, v, mask[:, None, None], scale)
 
 
+def decode_attention_q8(q, k_cache, v_cache, ks, vs, *, kv_len, scale=None):
+    """Single-step decode over an int8-quantized KV cache (per-token scales).
+
+    q (B, 1, H, D); k_cache/v_cache (B, Hkv, T, D) int8; ks/vs (B, Hkv, T) scales.
+    EXACT w.r.t. the quantized values: q @ (k_q * ks) == (q @ k_q) * ks per logit
+    column, and p @ (v_q * vs) == (p * vs) @ v_q per probability row. The int8 values
+    feed the MXU directly (mixed-dtype dot, operand-pipeline conversion) — the hot
+    loop reads half the cache bytes and never materializes a dequantized copy."""
+    B, _, H, D = q.shape
+    Hkv, T = k_cache.shape[1], k_cache.shape[2]
+    G = H // Hkv
+    if scale is None:
+        scale = D**-0.5
+    qg = q[:, 0].reshape(B, Hkv, G, D)
+    logits = jax.lax.dot_general(
+        qg, k_cache, (((3,), (3,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
+    )  # (B, Hkv, G, T)
+    logits = logits * ks.astype(jnp.float32)[:, :, None, :] * scale
+    valid = jnp.arange(T)[None, :] < kv_len[:, None]  # (B, T)
+    logits = jnp.where(valid[:, None, None], logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    p = (p * vs.astype(jnp.float32)[:, :, None, :]).astype(q.dtype)
+    out = jax.lax.dot_general(
+        p, v_cache, (((3,), (2,)), ((0, 1), (0, 1))), preferred_element_type=jnp.float32
+    )  # (B, Hkv, G, D)
+    return out.astype(q.dtype).reshape(B, 1, H, D)
+
+
 def decode_attention(q, k_cache, v_cache, *, kv_len, scale=None):
     """Single-step decode: q (B, 1, H, D) against cache (B, Hkv, T, D).
 

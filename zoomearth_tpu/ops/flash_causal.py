@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(q_ref, pos_ref, kvlen_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *, block_q, block_kv, scale, G, D):
+def _kernel(q_ref, pos_ref, kvlen_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref, kbuf, vbuf, ksbuf, vsbuf, sems, *, block_q, block_kv, scale, G, D, quant):
     b = pl.program_id(0)
     kh = pl.program_id(1)  # kv head
     qi = pl.program_id(2)
@@ -49,8 +49,21 @@ def _kernel(q_ref, pos_ref, kvlen_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
             v_hbm.at[b, kh, pl.ds(blk * block_kv, block_kv), :], vbuf.at[slot], sems.at[slot, 1]
         )
 
-    k_dma(0, 0).start()
-    v_dma(0, 0).start()
+    if quant:
+        # the whole scale row for (b, kh) is tiny ((NBLK, block_kv) bf16, ~3 KB at
+        # T=1536) — one upfront DMA, then dynamic sublane slices per kv block
+        ks_row = pltpu.make_async_copy(ks_hbm.at[b, kh], ksbuf, sems.at[0, 2])
+        vs_row = pltpu.make_async_copy(vs_hbm.at[b, kh], vsbuf, sems.at[0, 3])
+        ks_row.start()
+        vs_row.start()
+        ks_row.wait()
+        vs_row.wait()
+
+    def start_all(slot, blk):
+        k_dma(slot, blk).start()
+        v_dma(slot, blk).start()
+
+    start_all(0, 0)
 
     def body(jj, carry):
         m, l, acc = carry
@@ -58,8 +71,7 @@ def _kernel(q_ref, pos_ref, kvlen_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
 
         @pl.when(jj + 1 < n_blocks)
         def _():
-            k_dma((jj + 1) % 2, jj + 1).start()
-            v_dma((jj + 1) % 2, jj + 1).start()
+            start_all((jj + 1) % 2, jj + 1)
 
         k_dma(slot, jj).wait()
         v_dma(slot, jj).wait()
@@ -68,6 +80,15 @@ def _kernel(q_ref, pos_ref, kvlen_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
         logits = jax.lax.dot_general(
             q2, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (G*block_q, block_kv)
+        if quant:
+            # per-token scales: fold k's into the logit columns (v's fold into p after
+            # the l update below) — int8 values stream from HBM at half the bytes and
+            # dequantize only in VMEM. Row jj is picked by mask-reduce: a dynamic
+            # sublane slice at a traced offset needs 8-alignment Mosaic can't prove.
+            blk_ids = jax.lax.broadcasted_iota(jnp.int32, ksbuf.shape, 0)
+            ks_blk = jnp.sum(jnp.where(blk_ids == jj, ksbuf[...].astype(jnp.float32), 0.0),
+                             axis=0, keepdims=True)  # (1, block_kv)
+            logits = logits * ks_blk
         # mask in a (G, block_q, block_kv) view — a jnp.tile of pos_q by G lowers to an
         # unsupported 1D tpu.concatenate for larger G
         slot_ids = jj * block_kv + jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_kv), 2)
@@ -80,8 +101,14 @@ def _kernel(q_ref, pos_ref, kvlen_ref, k_hbm, v_hbm, o_ref, kbuf, vbuf, sems, *,
         p = jnp.exp(logits - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if quant:
+            vs_blk = jnp.sum(jnp.where(blk_ids == jj, vsbuf[...].astype(jnp.float32), 0.0),
+                             axis=0, keepdims=True)
+            pv = p * vs_blk
+        else:
+            pv = p
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         return m_new, l_new, acc_new
 
@@ -100,6 +127,8 @@ def flash_causal_attention(
     v: jnp.ndarray,
     positions: jnp.ndarray,  # (B, S) int32 query positions (== kv slot of each query)
     kv_len: jnp.ndarray,  # (B,) valid kv entries
+    ks=None,  # (B, Hkv, T) per-token scales -> k/v are int8 (KVCache int8 mode)
+    vs=None,
     *,
     block_q: int = 256,
     block_kv: int = 256,
@@ -108,12 +137,16 @@ def flash_causal_attention(
     """Causal GQA flash attention; exact. Returns (B, S, H, D) in q.dtype.
 
     Requires positions non-decreasing per row (true for prefill: slot==index) so the
-    per-q-block causal bound is the block's max position."""
+    per-q-block causal bound is the block's max position. With ks/vs, k/v hold int8
+    per-token-quantized values; the kernel streams them at half the HBM bytes and
+    applies the scales to logits columns / p rows (exact algebra, decode_attention_q8
+    semantics)."""
     B, S, H, D = q.shape
     Hkv = k.shape[1]
     T = k.shape[2]
     G = H // Hkv
     scale = D**-0.5
+    quant = ks is not None
     Dp = max(128, -(-D // 128) * 128)
     if Dp != D:
         q = jnp.pad(q, [(0, 0), (0, 0), (0, 0), (0, Dp - D)])
@@ -129,6 +162,17 @@ def flash_causal_attention(
     if pad_t:
         k = jnp.pad(k, [(0, 0), (0, 0), (0, pad_t), (0, 0)])
         v = jnp.pad(v, [(0, 0), (0, 0), (0, pad_t), (0, 0)])
+        if quant:
+            ks = jnp.pad(ks, [(0, 0), (0, 0), (0, pad_t)])
+            vs = jnp.pad(vs, [(0, 0), (0, 0), (0, pad_t)])
+    n_blk = -(-(Tp // block_kv) // 8) * 8  # sublane-aligned row count for the DMA
+    if quant:
+        pad_blk = n_blk * block_kv - Tp
+        ks2 = jnp.pad(ks.astype(jnp.bfloat16), [(0, 0), (0, 0), (0, pad_blk)]).reshape(B, Hkv, n_blk, block_kv)
+        vs2 = jnp.pad(vs.astype(jnp.bfloat16), [(0, 0), (0, 0), (0, pad_blk)]).reshape(B, Hkv, n_blk, block_kv)
+    else:  # dummies: the quant branch is compiled out, but inputs must exist
+        ks2 = jnp.zeros((B, Hkv, n_blk, block_kv), jnp.bfloat16)
+        vs2 = jnp.zeros((B, Hkv, n_blk, block_kv), jnp.bfloat16)
 
     # q regrouped: (B, Sp, Hkv, G, D) -> block over Sp with G folded in-kernel
     qg = q.reshape(B, Sp, Hkv, G, Dp)
@@ -147,6 +191,8 @@ def flash_causal_attention(
             pl.BlockSpec((B, 1), lambda b, h, i: (0, 0), memory_space=pltpu.SMEM),  # kv_len
             pl.BlockSpec(memory_space=pl.ANY),  # k
             pl.BlockSpec(memory_space=pl.ANY),  # v
+            pl.BlockSpec(memory_space=pl.ANY),  # ks (flattened) or dummy
+            pl.BlockSpec(memory_space=pl.ANY),  # vs
         ],
         out_specs=pl.BlockSpec(
             (None, block_q, None, G, Dp), lambda b, h, i: (b, i, h, 0, 0), memory_space=pltpu.VMEM
@@ -154,14 +200,16 @@ def flash_causal_attention(
         scratch_shapes=[
             pltpu.VMEM((2, block_kv, Dp), k.dtype),
             pltpu.VMEM((2, block_kv, Dp), v.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((n_blk, block_kv), jnp.bfloat16),  # full per-(b,kh) scale rows
+            pltpu.VMEM((n_blk, block_kv), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, block_q=block_q, block_kv=block_kv, scale=scale, G=G, D=Dp),
+        functools.partial(_kernel, block_q=block_q, block_kv=block_kv, scale=scale, G=G, D=Dp, quant=quant),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Sp, Hkv, G, Dp), q.dtype),
         interpret=interpret,
-    )(qg, positions.reshape(B, 1, Sp).astype(jnp.int32), kv_len.reshape(B, 1).astype(jnp.int32), k, v)
+    )(qg, positions.reshape(B, 1, Sp).astype(jnp.int32), kv_len.reshape(B, 1).astype(jnp.int32), k, v, ks2, vs2)
     out = out.reshape(B, Sp, H, Dp)
     return out[:, :S, :, :D]

@@ -149,10 +149,18 @@ def paged_decode_attention_reference(q, kpool, vpool, block_table, lengths, *, p
 def append_to_pages(kpool, vpool, k_new, v_new, block_table, lengths, *, page_size=64):
     """Scatter one decode step's kv (B, Hkv, D) into the pools at each row's position.
 
-    Returns (kpool, vpool). Position = lengths[b]; page = block_table[b, pos // ps]."""
+    Returns (kpool, vpool). Position = lengths[b]; page = block_table[b, pos // ps].
+    Rows already at capacity (lengths[b] == max_pages*page_size) DROP the write: the
+    block-table gather is masked BEFORE indexing (an unmasked gather would clamp to the
+    last page and silently overwrite its slot 0 — drop mode only guards the scatter)."""
     B = k_new.shape[0]
+    max_pages = block_table.shape[1]
     pos = lengths  # (B,)
-    page_idx = block_table[jnp.arange(B), pos // page_size]  # (B,)
+    in_range = pos < max_pages * page_size
+    page_slot = jnp.where(in_range, pos // page_size, 0)
+    page_idx = jnp.where(
+        in_range, block_table[jnp.arange(B), page_slot], kpool.shape[0]
+    )  # out-of-range page id -> drop-mode scatter discards the row
     slot_in_page = pos % page_size  # (B,)
     kpool = kpool.at[page_idx, :, slot_in_page, :].set(k_new, mode="drop")
     vpool = vpool.at[page_idx, :, slot_in_page, :].set(v_new, mode="drop")

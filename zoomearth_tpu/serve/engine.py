@@ -174,6 +174,10 @@ class ServingEngine:
         # at least this many rows are ready (each prefill batch has a fixed dispatch +
         # ViT cost; trickled single-row admissions fragment it). 1 = admit eagerly.
         self.admit_min_batch = 1
+        # Compact-prefill row-count buckets (clipped to max_slots): each value is a
+        # distinct compiled program per (S, n_emb) — keep SMALL where compiles are
+        # expensive (axon remote compile: minutes per shape).
+        self.row_buckets = (4, 8, 16, 32, 64, 128, 256)
         dtype = cache_dtype or jnp.dtype(cfg.dtype)
         self.cache = KVCache.create(cfg.text, max_slots, max_seq_len, dtype)
         self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
@@ -233,44 +237,57 @@ class ServingEngine:
     # ------------------------------------------------------------------
 
     def _pool_prefill(
-        self, params, ids, chunk_lens, keep_lens, pos, vision_embeds,
-        cache, cur_tokens, next_pos, new_next_pos, participate, temps, key,
+        self, params, slot_idx, ids, chunk_lens, keep_lens, pos, vision_embeds,
+        cache, cur_tokens, next_pos, new_next_pos, temps, key,
     ):
-        """Chunk-prefill a (max_slots, S) padded batch directly into the slot pool.
+        """Row-compacted chunk-prefill into the slot pool.
 
-        participate: (B,) bool — rows taking part in this prefill. Others keep their
-        length/cur_token/next_pos; the garbage KV they write beyond their length is
-        never attended and is overwritten by their own decode steps.
+        slot_idx: (R,) pool rows of this batch (R a small bucket, NOT max_slots —
+        an admission of 4 rows used to pay a full (max_slots, S) forward, ~8x the
+        FLOPs; the dominant engine-vs-wave gap). Padding rows carry slot_idx ==
+        max_slots: their gathers clamp (harmless — chunk_lens 0 masks everything)
+        and every scatter-back DROPS them. The per-row (R x 36-layer KV) gather +
+        scatter costs ~2 x 57 MB x R of HBM traffic (~1.5 ms at R=8) — noise next
+        to the saved forward.
+
         Returns (cache, cur_tokens, next_pos, first_tokens) with on-device sampling.
         """
-        B, S = ids.shape
+        R, S = ids.shape
         T = cache.k[0].shape[2]
-        old_len = cache.length
-        eff_keep = jnp.where(participate, keep_lens, old_len)
-        attn_positions = eff_keep[:, None] + jnp.arange(S)[None]
-        attn_valid = (jnp.arange(S)[None] < chunk_lens[:, None]) & participate[:, None]
-        # pads and non-participating rows write to slot T -> dropped by the scatter
+        # gather the participating rows' cache
+        gk = tuple(k[jnp.clip(slot_idx, 0, k.shape[0] - 1)] for k in cache.k)
+        gv = tuple(v[jnp.clip(slot_idx, 0, v.shape[0] - 1)] for v in cache.v)
+        gcache = KVCache(k=gk, v=gv, length=keep_lens)
+        attn_positions = keep_lens[:, None] + jnp.arange(S)[None]
+        attn_valid = jnp.arange(S)[None] < chunk_lens[:, None]
+        # pads write to slot T -> dropped by the kv scatter
         write_pos = jnp.where(attn_valid, attn_positions, T)
-        cache = cache._replace(length=eff_keep)
-        logits, cache = vlm_forward(
+        logits, gcache = vlm_forward(
             params, self.cfg, ids, pos,
             vision_embeds=vision_embeds,
             attn_positions=attn_positions, attn_valid=attn_valid,
-            cache=cache, update_cache_len=False,
+            cache=gcache, update_cache_len=False,
             logit_index=jnp.maximum(chunk_lens - 1, 0),
             write_pos=write_pos,
             # XLA's fused attention beats the Pallas causal kernel at our prefill
             # sizes (measured on-TPU); flash_causal stays opt-in for long-context
             use_flash=False,
         )
-        new_len = jnp.where(participate, eff_keep + chunk_lens, old_len)
-        cache = cache._replace(length=new_len)
+        # scatter rows back (padding rows: slot_idx == max_slots -> dropped)
+        new_k = tuple(
+            k.at[slot_idx].set(g, mode="drop") for k, g in zip(cache.k, gcache.k)
+        )
+        new_v = tuple(
+            v.at[slot_idx].set(g, mode="drop") for v, g in zip(cache.v, gcache.v)
+        )
+        new_len = cache.length.at[slot_idx].set(keep_lens + chunk_lens, mode="drop")
+        cache = cache._replace(k=new_k, v=new_v, length=new_len)
         greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         temp = jnp.maximum(temps, 1e-4)[:, None]
         sampled = jax.random.categorical(key, logits / temp, axis=-1).astype(jnp.int32)
         tok = jnp.where(temps <= 0.0, greedy_tok, sampled)
-        cur_tokens = jnp.where(participate, tok, cur_tokens)
-        next_pos = jnp.where(participate, new_next_pos, next_pos)
+        cur_tokens = cur_tokens.at[slot_idx].set(tok, mode="drop")
+        next_pos = next_pos.at[slot_idx].set(new_next_pos, mode="drop")
         return cache, cur_tokens, next_pos, tok
 
     def _apply_prefixes(self, cache, ppool_k, ppool_v, entry_idx, tp, mask):
@@ -464,38 +481,41 @@ class ServingEngine:
         )
 
     def _run_prefill_batch(self, rows: List[_PrefillRow]):
-        """One batched pool prefill for up to max_slots prepared rows."""
+        """One row-compacted pool prefill for up to max_slots prepared rows."""
         t_start = time.time()
         cfg = self.cfg
-        B = self.max_slots
-        rows = sorted(rows, key=lambda r: r.slot)  # vision embeds splice in slot order
+        rows = sorted(rows, key=lambda r: r.slot)  # vision embeds splice in row order
+        R = len(rows)
+        # compact row-count bucket: prefill FLOPs scale with RB, not max_slots
+        RB = next((r for r in self.row_buckets if R <= r <= self.max_slots),
+                  self.max_slots)
         S = bucket(max(len(r.chunk_ids) for r in rows), self.length_buckets)
-        ids = np.full((B, S), cfg.tokens.pad, np.int32)
-        chunk_lens = np.zeros((B,), np.int32)
-        keep_lens = np.zeros((B,), np.int32)
-        new_next = np.zeros((B,), np.int32)
-        pos = np.ones((3, B, S), np.int32)
-        participate = np.zeros((B,), bool)
-        temps = np.zeros((B,), np.float32)
+        ids = np.full((RB, S), cfg.tokens.pad, np.int32)
+        chunk_lens = np.zeros((RB,), np.int32)
+        keep_lens = np.zeros((RB,), np.int32)
+        new_next = np.zeros((RB,), np.int32)
+        pos = np.ones((3, RB, S), np.int32)
+        temps = np.zeros((RB,), np.float32)
+        # padding rows point past the pool: every scatter-back drops them
+        slot_idx = np.full((RB,), self.max_slots, np.int32)
         all_pv, all_grids = [], []
         prefix_rows: Dict[str, List[int]] = {}
-        for r in rows:
-            b = r.slot
+        for j, r in enumerate(rows):
             n = len(r.chunk_ids)
-            ids[b, :n] = r.chunk_ids
-            chunk_lens[b] = n
-            keep_lens[b] = r.keep_len
-            participate[b] = True
-            temps[b] = r.request.temperature
+            slot_idx[j] = r.slot
+            ids[j, :n] = r.chunk_ids
+            chunk_lens[j] = n
+            keep_lens[j] = r.keep_len
+            temps[j] = r.request.temperature
             if r.use_prefix:
-                prefix_rows.setdefault(r.use_prefix, []).append(b)
+                prefix_rows.setdefault(r.use_prefix, []).append(r.slot)
             grids = [g for _, g in r.images]
             p, nxt = mrope_chunk_position_ids(
                 np.asarray(r.chunk_ids), grids, r.start_pos,
                 image_pad_id=cfg.tokens.image_pad, merge_size=cfg.vision.spatial_merge_size,
             )
-            pos[:, b, :n] = p
-            new_next[b] = nxt
+            pos[:, j, :n] = p
+            new_next[j] = nxt
             all_pv.extend(x for x, _ in r.images)
             all_grids.extend(grids)
 
@@ -522,6 +542,7 @@ class ServingEngine:
             n_emb = vision_embeds.shape[0]
 
         if prefix_rows:
+            B = self.max_slots
             if "apply_prefixes" not in self._prefill_fns:
                 self._prefill_fns["apply_prefixes"] = jax.jit(
                     self._apply_prefixes, donate_argnums=(0,)
@@ -540,14 +561,15 @@ class ServingEngine:
                 jnp.asarray(entry_idx), jnp.asarray(tp), jnp.asarray(pmask),
             )
 
-        key = ("pool", S, n_emb)
+        key = ("pool", RB, S, n_emb)
         if key not in self._prefill_fns:
-            self._prefill_fns[key] = jax.jit(self._pool_prefill, donate_argnums=(6,))
+            self._prefill_fns[key] = jax.jit(self._pool_prefill, donate_argnums=(7,))
         self._key, sub = jax.random.split(self._key)
         self.cache, self.cur_tokens, self.next_pos, tok = self._prefill_fns[key](
-            self.params, jnp.asarray(ids), jnp.asarray(chunk_lens), jnp.asarray(keep_lens),
-            jnp.asarray(pos), vision_embeds, self.cache, self.cur_tokens, self.next_pos,
-            jnp.asarray(new_next), jnp.asarray(participate), jnp.asarray(temps), sub,
+            self.params, jnp.asarray(slot_idx), jnp.asarray(ids), jnp.asarray(chunk_lens),
+            jnp.asarray(keep_lens), jnp.asarray(pos), vision_embeds,
+            self.cache, self.cur_tokens, self.next_pos,
+            jnp.asarray(new_next), jnp.asarray(temps), sub,
         )
         self.stats["prefills"] += 1
         self.stats["prefill_rows"] += len(rows)
@@ -561,16 +583,16 @@ class ServingEngine:
         # device total: ViT + prefix apply + pool prefill + prefix harvest, measured
         # to the blocking first-token readback
         self._phase_s["prefill_device"] += time.time() - t_dev
-        for r in rows:
+        for j, r in enumerate(rows):
             b = r.slot
-            t = int(first[b])
+            t = int(first[j])
             slot = self.slots[b]
             slot.request = r.request
             slot.generated = [t]
             slot.remaining = r.request.max_tokens - 1
             slot.held = False
             slot.prompt_len = r.prompt_len
-            slot.prompt_next_pos = int(new_next[b])
+            slot.prompt_next_pos = int(new_next[j])
             self.active[b] = True
             if t in self._stop_tokens or slot.remaining <= 0:
                 self._finish(b, "stop" if t in self._stop_tokens else "length")
