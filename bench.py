@@ -114,14 +114,31 @@ def main_engine():
             image_keys=image_keys, prefix_str=sys_prefix,
         )
 
+    t0 = time.time()
+    # deterministic precompile: engine prefill shapes are admission-timing-dependent,
+    # so stochastic warmup rounds never cover them all (measured: a straggler shape
+    # compiling mid-timed-round costs 100-250s through the remote-compile tunnel)
+    engine.precompile(progress=lambda s: print(f"  precompile {s} t={time.time()-t0:.0f}s",
+                                               file=sys.stderr))
+    print(f"engine precompile: {time.time() - t0:.1f}s", file=sys.stderr)
     engine.start()
+    # watchdog: engine progress every 60s (stall diagnosis through the tunnel)
+    import threading as _th
+
+    def _watch():
+        while engine._running:
+            time.sleep(60)
+            print(f"  [watchdog] stats={engine.stats} timing={engine.stats_timing()}",
+                  file=sys.stderr, flush=True)
+    _th.Thread(target=_watch, daemon=True).start()
     try:
         t0 = time.time()
-        # three warmup rounds: round 1 populates the prefix store (all misses), round 2
-        # compiles the prefix-HIT shapes, round 3 catches straggler batch-split shapes
-        for _ in range(3):
+        # two warmup rounds: populate the prefix store + settle steady-state
+        for _ in range(2):
             round_once()
-        print(f"engine warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+        print(f"engine warmup rounds: {time.time() - t0:.1f}s", file=sys.stderr)
+        print(f"warmup phase timing: {engine.stats_timing()}", file=sys.stderr)
+        engine._phase_s.clear()  # timed-region attribution only
         t0 = time.time()
         latencies = []
         for w in range(WAVES):
@@ -132,7 +149,7 @@ def main_engine():
         qps = EPISODES * WAVES / dt
         print(f"{WAVES} rounds x {EPISODES} episodes in {dt:.2f}s "
               f"(stats: {engine.stats})", file=sys.stderr)
-        print(f"engine phase timing (cumulative, incl. warmup): {engine.stats_timing()}",
+        print(f"engine phase timing (timed region): {engine.stats_timing()}",
               file=sys.stderr)
     finally:
         engine.stop()

@@ -150,3 +150,20 @@ def test_prefix_cache_token_identity(params, reference_gen):
         if len(got) > len(want):
             got = got[: len(want)]
         assert got == want[: len(got)] and len(got) >= min(8, len(want)), f"req p{i}"
+
+
+def test_oversized_image_burst_splits(params):
+    """An admission burst whose images exceed the largest patch bucket splits into
+    sub-batches instead of raising (cold first round: every row carries an image)."""
+    engine = ServingEngine(
+        params, CFG, max_slots=4, max_seq_len=128, decode_chunk=2,
+        cache_dtype="float32", length_buckets=(64, 128), patch_buckets=(0, 32),
+    )
+    engine.admission_debounce_s = 0.0
+    # each image = 16 patches; 3 of them > the 32-patch bucket -> must split
+    prompts = [_prompt(10 + i, 6, grid=(1, 4, 4)) for i in range(3)]
+    for i, (ids, imgs) in enumerate(prompts):
+        engine.submit(Request(request_id=f"s{i}", token_ids=ids, images=imgs, max_tokens=3))
+    engine.run_until_idle()
+    assert all(f"s{i}" in engine.results for i in range(3))
+    assert engine.stats["prefills"] >= 2  # split happened

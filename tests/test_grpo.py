@@ -1,5 +1,7 @@
 """GRPO trainer tests: advantage math, stop masking, loss, and a full tiny-model step."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -352,3 +354,17 @@ def test_engine_backed_rollouts(tiny_trainer):
     assert np.isfinite(metrics["loss"])
     after = jax.tree.leaves(t.params)[0]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_log_completions(tiny_trainer, tmp_path):
+    """log_completions appends jsonl rollout records (reference grpo_config.py
+    log_completions wandb table, offline-first)."""
+    import json
+
+    t = tiny_trainer
+    t.grpo = dataclasses.replace(t.grpo, log_completions=True,
+                                 completions_path=str(tmp_path / "c.jsonl"))
+    t.step(_samples(), seed=0)
+    lines = [json.loads(l) for l in (tmp_path / "c.jsonl").read_text().splitlines()]
+    assert len(lines) == 2 * t.grpo.num_generations
+    assert all("completion1" in l and "reward" in l for l in lines)

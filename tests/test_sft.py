@@ -120,3 +120,26 @@ def test_train_loss_decreases_and_resume(tmp_path, processor):
     )
     assert hist2[0]["step"] == 9  # continued after the restored step
     assert hist2[-1]["loss"] < hist[0]["loss"]
+
+
+def test_save_callbacks(tmp_path):
+    """ExportHFCallback + BenchmarkCallback fire on save (reference
+    PushToHubRevisionCallback: hub revision push + benchmark job submission)."""
+    import json
+
+    import jax
+
+    from zoomearth_tpu.config import VLMConfig
+    from zoomearth_tpu.models.params import init_vlm_params
+    from zoomearth_tpu.train.callbacks import BenchmarkCallback, ExportHFCallback, run_callbacks
+
+    cfg = VLMConfig.tiny()
+    params = init_vlm_params(jax.random.key(0), cfg)
+    exp = ExportHFCallback(export_dir=str(tmp_path / "hub"), cfg=cfg, revision="r1")
+    bench = BenchmarkCallback(output_dir=str(tmp_path / "jobs"), data_file="d.jsonl",
+                              image_folder="imgs")
+    run_callbacks([exp, bench], 50, str(tmp_path / "checkpoint-50"), params)
+    out = tmp_path / "hub" / "r1-step000050"
+    assert out.is_dir() and any(f.suffix == ".safetensors" for f in out.iterdir())
+    jobs = [json.loads(l) for l in (tmp_path / "jobs" / "benchmark_jobs.jsonl").read_text().splitlines()]
+    assert jobs[0]["step"] == 50 and "cli.infer" in " ".join(jobs[0]["cmd"])

@@ -50,6 +50,8 @@ def main(argv=None):
     p.add_argument("--resume_from_checkpoint", action="store_true")
     p.add_argument("--report_to", nargs="+", default=["jsonl"],
                    help="metric sinks: jsonl, tensorboard, wandb (reference train_grpo.sh:58)")
+    p.add_argument("--log_completions", action="store_true",
+                   help="append per-step rollout samples to <output_dir>/completions.jsonl")
     p.add_argument("--seed", type=int, default=42)
     from .config import parse_with_yaml
 
@@ -75,6 +77,8 @@ def main(argv=None):
         ref_model_mixup_alpha=args.ref_model_mixup_alpha,
         ref_model_sync_steps=args.ref_model_sync_steps,
         use_lora=args.use_lora, lora_r=args.lora_r, lora_alpha=args.lora_alpha,
+        log_completions=args.log_completions,
+        completions_path=os.path.join(args.output_dir, "completions.jsonl"),
     )
     trainer = GRPOTrainer(
         params, cfg, grpo_cfg, processor,

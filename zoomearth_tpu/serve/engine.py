@@ -209,6 +209,11 @@ class ServingEngine:
         )
         self._pump_thread: Optional[threading.Thread] = None
         self._running = False
+        # Optional completion hook (called from the pump thread inside _finish —
+        # keep it O(1), e.g. queue.put): lets a driver consume completions without
+        # one blocked get_completion() thread per request (on a 1-core host, N
+        # collector threads doing PIL work starve the scheduler via the GIL).
+        self.on_completion: Optional[Callable[[Completion], None]] = None
         self.stats = {"completed": 0, "decode_steps": 0, "prefills": 0,
                       "prefill_rows": 0, "prefix_hits": 0, "prefix_saves": 0}
         # wall-clock phase accounting (host thread time, includes device wait):
@@ -344,6 +349,95 @@ class ServingEngine:
             body, (cache, cur_tokens, next_pos, key), None, length=n_steps
         )
         return cache, cur, pos, toks.T  # (B, n_steps)
+
+    def precompile(self, *, row_widths: Optional[Sequence[int]] = None,
+                   lengths: Optional[Sequence[int]] = None,
+                   patch_counts: Optional[Sequence[int]] = None,
+                   pixel_dtype=np.uint8,
+                   progress: Optional[Callable[[str], None]] = None):
+        """Deterministically compile every device program the engine can hit.
+
+        Engine prefill shapes are TIMING-DEPENDENT (admission batching), so a
+        stochastic warmup never reliably covers them — and on remote-compile
+        infrastructure each miss costs minutes mid-serving. This walks the full
+        (row-width x length-bucket x patch-bucket) grid with INERT inputs: slot_idx
+        points past the pool so every scatter drops, chunk_lens=0 masks all
+        attention — engine state is untouched. Also compiles the decode chunk, the
+        ViT per patch bucket, and the prefix apply/harvest programs."""
+        cfg = self.cfg
+        widths = list(row_widths) if row_widths is not None else (
+            [r for r in self.row_buckets if r <= self.max_slots] + [self.max_slots]
+        )
+        widths = sorted(set(widths))
+        lens = list(lengths) if lengths is not None else list(self.length_buckets)
+        patches = list(patch_counts) if patch_counts is not None else list(self.patch_buckets)
+        emb_per_patch = 1.0 / cfg.vision.merge_unit
+        for npatch in patches:
+            if npatch == 0:
+                continue
+            if progress:
+                progress(f"vit[{npatch}]")
+            pv = jnp.zeros((npatch, cfg.vision.patch_dim), pixel_dtype)
+            meta = vision_metadata([(1, 4, npatch // 4)], cfg.vision, pad_to=npatch)
+            meta_dev = {k: jnp.asarray(getattr(meta, k)) for k in
+                        ("perm", "inv_perm_merged", "seg_window", "seg_full", "pos_ids")}
+            jax.block_until_ready(self._vit_fn(self.params, pv, meta_dev))
+        for RB in widths:
+            for S in lens:
+                for npatch in patches:
+                    n_emb = int(npatch * emb_per_patch)
+                    key = ("pool", RB, S, n_emb)
+                    if key in self._prefill_fns:
+                        continue
+                    if progress:
+                        progress(f"pool{key}")
+                    self._prefill_fns[key] = jax.jit(self._pool_prefill, donate_argnums=(7,))
+                    ve = (jnp.zeros((n_emb, cfg.text.hidden_size), jnp.dtype(cfg.dtype))
+                          if n_emb else None)
+                    self._key, sub = jax.random.split(self._key)
+                    self.cache, self.cur_tokens, self.next_pos, _tok = self._prefill_fns[key](
+                        self.params,
+                        jnp.full((RB,), self.max_slots, jnp.int32),  # all rows dropped
+                        jnp.full((RB, S), cfg.tokens.pad, jnp.int32),
+                        jnp.zeros((RB,), jnp.int32), jnp.zeros((RB,), jnp.int32),
+                        jnp.ones((3, RB, S), jnp.int32), ve,
+                        self.cache, self.cur_tokens, self.next_pos,
+                        jnp.zeros((RB,), jnp.int32), jnp.zeros((RB,), jnp.float32), sub,
+                    )
+        if progress:
+            progress("decode")
+        self._key, sub = jax.random.split(self._key)
+        self.cache, self.cur_tokens, self.next_pos, _ = self._decode_fn(
+            self.cache, self.cur_tokens, self.next_pos,
+            jnp.zeros((self.max_slots,), bool), jnp.zeros((self.max_slots,), jnp.float32),
+            sub, self.params,
+        )
+        # prefix programs (apply + harvest at the prefix cap)
+        self._ensure_ppool()
+        if "apply_prefixes" not in self._prefill_fns:
+            self._prefill_fns["apply_prefixes"] = jax.jit(self._apply_prefixes, donate_argnums=(0,))
+        if progress:
+            progress("prefix_apply")
+        self.cache = self._prefill_fns["apply_prefixes"](
+            self.cache, self._ppool[0], self._ppool[1],
+            jnp.zeros((self.max_slots,), jnp.int32), jnp.zeros((self.max_slots,), jnp.int32),
+            jnp.zeros((self.max_slots,), bool),  # mask False: no-op
+        )
+        jax.block_until_ready(self.cache.length)
+        # fresh state buffers: precompile churned the originals through donation
+        # chains; serving restarts from clean allocations
+        self.reset_state()
+
+    def reset_state(self):
+        """Reallocate the slot pool's device state (drops all in-flight work)."""
+        dtype = self.cache.k[0].dtype
+        self.cache = KVCache.create(self.cfg.text, self.max_slots, self.max_seq_len, dtype)
+        self.cur_tokens = jnp.zeros((self.max_slots,), jnp.int32)
+        self.next_pos = jnp.zeros((self.max_slots,), jnp.int32)
+        self.active = np.zeros((self.max_slots,), bool)
+        self.slots = [_Slot() for _ in range(self.max_slots)]
+        self.held.clear()
+        jax.block_until_ready(self.cache.length)
 
     # ------------------------------------------------------------------
     # prefix KV cache (lazy, keyed store)
@@ -484,6 +578,23 @@ class ServingEngine:
         """One row-compacted pool prefill for up to max_slots prepared rows."""
         t_start = time.time()
         cfg = self.cfg
+        # a burst whose images exceed the largest patch bucket (e.g. a cold first
+        # round: every stage-1 admission carries a full image) splits greedily
+        cap = self.patch_buckets[-1]
+        total = sum(pv.shape[0] for r in rows for pv, _ in r.images)
+        if total > cap and len(rows) > 1:
+            group: List[_PrefillRow] = []
+            acc = 0
+            for r in rows:
+                n = sum(pv.shape[0] for pv, _ in r.images)
+                if group and acc + n > cap:
+                    self._run_prefill_batch(group)
+                    group, acc = [], 0
+                group.append(r)
+                acc += n
+            if group:
+                self._run_prefill_batch(group)
+            return
         rows = sorted(rows, key=lambda r: r.slot)  # vision embeds splice in row order
         R = len(rows)
         # compact row-count bucket: prefill FLOPs scale with RB, not max_slots
@@ -524,6 +635,7 @@ class ServingEngine:
         vision_embeds = None
         n_emb = 0
         if all_pv:
+            t_vit = time.time()
             pv = np.concatenate(all_pv, axis=0)
             n_patches = bucket(pv.shape[0], self.patch_buckets)
             meta = vision_metadata(all_grids, cfg.vision, pad_to=n_patches)
@@ -540,6 +652,7 @@ class ServingEngine:
             # prompt-shape variants of the pool prefill)
             vision_embeds = self._vit_fn(self.params, jnp.asarray(pv), meta_dev)
             n_emb = vision_embeds.shape[0]
+            self._phase_s["prefill_vit_dispatch"] += time.time() - t_vit
 
         if prefix_rows:
             B = self.max_slots
@@ -563,7 +676,9 @@ class ServingEngine:
 
         key = ("pool", RB, S, n_emb)
         if key not in self._prefill_fns:
+            self._phase_s["prefill_compiles"] += 1
             self._prefill_fns[key] = jax.jit(self._pool_prefill, donate_argnums=(7,))
+        t_pool = time.time()
         self._key, sub = jax.random.split(self._key)
         self.cache, self.cur_tokens, self.next_pos, tok = self._prefill_fns[key](
             self.params, jnp.asarray(slot_idx), jnp.asarray(ids), jnp.asarray(chunk_lens),
@@ -571,15 +686,20 @@ class ServingEngine:
             self.cache, self.cur_tokens, self.next_pos,
             jnp.asarray(new_next), jnp.asarray(temps), sub,
         )
+        self._phase_s["prefill_pool_dispatch"] += time.time() - t_pool
         self.stats["prefills"] += 1
         self.stats["prefill_rows"] += len(rows)
+        t_store = time.time()
         for r in rows:
             if r.save_prefix:
                 self._store_prefix(
                     r.save_prefix, r.slot,
                     list(r.request.token_ids[: r.request.prefix_len]), r.prefix_next_pos,
                 )
+        self._phase_s["prefill_store_dispatch"] += time.time() - t_store
+        t_rb = time.time()
         first = np.asarray(tok)  # one small readback per BATCH, not per request
+        self._phase_s["prefill_readback_wait"] += time.time() - t_rb
         # device total: ViT + prefix apply + pool prefill + prefix harvest, measured
         # to the blocking first-token readback
         self._phase_s["prefill_device"] += time.time() - t_dev
@@ -612,6 +732,8 @@ class ServingEngine:
         with self._results_cond:
             self.results[req.request_id] = completion
             self._results_cond.notify_all()
+        if self.on_completion is not None:
+            self.on_completion(completion)
         self.stats["completed"] += 1
         self._latencies.append(completion.created_at - req.enqueued_at)
         self.active[slot_idx] = False

@@ -6,11 +6,19 @@ EPISODES KEEP DECODING, then submits a Continuation that reuses the held KV cach
 (prefilling only the crop's vision tokens). This realizes the north-star overlap
 (crop preprocessing hidden under decode) at the request level instead of the batch
 level — no wave barriers.
+
+v2: completions flow through ONE worker thread fed by the engine's on_completion hook
+instead of a blocked collector thread per episode — on the 1-core bench host, N
+threads doing PIL/numpy crop work starved the scheduler pump via the GIL (measured:
+~35 s/round unaccounted at 64 episodes).
 """
 
 from __future__ import annotations
 
+import dataclasses
+import queue
 import threading
+import time
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np
@@ -46,7 +54,8 @@ def run_episodes_served(
     the leading span (default PT.PREFIX, which ends at the stage-1 image).
 
     The engine pump thread must be running (engine.start()) or the caller must tick
-    engine.step() concurrently."""
+    engine.step() concurrently. Registers engine.on_completion for the duration (one
+    episode driver at a time)."""
     tk = processor.tokenizer
     cfg = engine.cfg
     prompt_fn = prompt_fn or PT.stage1_prompt
@@ -56,9 +65,10 @@ def run_episodes_served(
     s1_budget = [int(max_new_tokens)] * n if np.isscalar(max_new_tokens) else [int(x) for x in max_new_tokens]
     s2_budget = [int(stage2_max_tokens)] * n if np.isscalar(stage2_max_tokens) else [int(x) for x in stage2_max_tokens]
     results: List[Optional[EpisodeResult]] = [None] * n
-    lock = threading.Lock()
+    t_submit: List[float] = [0.0] * n
     done = threading.Event()
     pending = {"n": n}
+    completions: "queue.Queue" = queue.Queue()
 
     prompts = [prompt_fn(q) for q in questions]
     resized, scales = [], []
@@ -67,22 +77,19 @@ def run_episodes_served(
         resized.append(small)
         scales.append(max(img.width, img.height) / max(small.width, small.height))
 
-    import dataclasses as _dc
-    import time as _time
-
-    t_submit: List[float] = [0.0] * n
-
     def finish(i, r: EpisodeResult):
-        with lock:
-            results[i] = _dc.replace(r, latency_s=_time.time() - t_submit[i])
-            pending["n"] -= 1
-            if pending["n"] == 0:
-                done.set()
+        results[i] = dataclasses.replace(r, latency_s=time.time() - t_submit[i])
+        pending["n"] -= 1
+        if pending["n"] == 0:
+            done.set()
 
-    def stage2_worker(i, completion):
-        """Runs on a collector thread: crop + preprocess + continuation submit."""
+    stage1_text: List[str] = [""] * n
+    stage1_bbox: List[Optional[list]] = [None] * n
+
+    def handle_stage1(i, completion):
         out1_tokens = completion.token_ids
         out1 = tk.decode(out1_tokens).strip()
+        stage1_text[i] = out1
         boxes = extract_bboxes(out1, scales[i])
         if not boxes:
             engine.release_slot(f"ep{i}-s1")
@@ -91,8 +98,8 @@ def run_episodes_served(
                 answer1=extract_answer(out1), answer2=None, bbox=None, error=True,
             ))
             return
-        bbox = boxes[0]
-        crop = resize_image(cut_image(images[i], bbox, crop_min_size), stage1_max_size)
+        stage1_bbox[i] = boxes[0]
+        crop = resize_image(cut_image(images[i], boxes[0], crop_min_size), stage1_max_size)
         raw = tk.decode(out1_tokens, skip_special_tokens=False)
         kept, residual = split_kept_tokens(tk, out1_tokens, raw.split("<answer>")[0])
         crop_prepped = processor.preprocess_images([crop])
@@ -104,45 +111,68 @@ def run_episodes_served(
             chunk_ids=chunk, images=crop_prepped, kept_tokens=len(kept),
             max_tokens=s2_budget[i], temperature=temperature,
         ))
-        c2 = engine.get_completion(f"ep{i}-s2", timeout=1800)
-        out2 = tk.decode(c2.token_ids).strip()
+
+    def handle_stage2(i, completion):
+        out2 = tk.decode(completion.token_ids).strip()
         finish(i, EpisodeResult(
-            question=questions[i], stage1=out1, stage2=out2,
-            answer1=extract_answer(out1), answer2=extract_answer(out2),
-            bbox=bbox, error=False,
+            question=questions[i], stage1=stage1_text[i], stage2=out2,
+            answer1=extract_answer(stage1_text[i]), answer2=extract_answer(out2),
+            bbox=stage1_bbox[i], error=False,
         ))
 
-    collectors = []
-    for i in range(n):
-        ids, prepped = processor.encode(prompts[i], [resized[i]])
-        prefix_key = None
-        prefix_len = 0
-        n_prefix_images = 0
-        if image_keys is not None:
-            pstr = prefix_str if prefix_str is not None else PT.PREFIX
-            pids = tk.encode(pstr)
-            n_prefix_images = pids.count(cfg.tokens.image_pad)
-            grids = [g for _, g in prepped]
-            pids = processor.expand_image_pads(pids, grids[:n_prefix_images])
-            if list(ids[: len(pids)]) == list(pids):
-                prefix_len = len(pids)
-                prefix_key = f"{image_keys[i]}|{grids[:n_prefix_images]}"
-        t_submit[i] = _time.time()
-        engine.submit(Request(
-            request_id=f"ep{i}-s1", token_ids=ids, images=prepped,
-            max_tokens=s1_budget[i], temperature=temperature, hold_slot=True,
-            prefix_key=prefix_key, prefix_len=prefix_len, n_prefix_images=n_prefix_images,
-        ))
+    def worker():
+        while pending["n"] > 0:
+            try:
+                c = completions.get(timeout=1.0)
+            except queue.Empty:
+                continue
+            rid = c.request_id
+            if not rid.startswith("ep"):
+                continue
+            idx, stage = rid[2:].split("-")
+            i = int(idx)
+            engine.results.pop(rid, None)  # consumed here, not via get_completion
+            try:
+                if stage == "s1":
+                    handle_stage1(i, c)
+                else:
+                    handle_stage2(i, c)
+            except Exception as e:  # a dead worker would silently hang the driver
+                import traceback
 
-        def collector(i=i):
-            c1 = engine.get_completion(f"ep{i}-s1", timeout=1800)
-            stage2_worker(i, c1)
+                traceback.print_exc()
+                finish(i, EpisodeResult(
+                    question=questions[i], stage1=stage1_text[i], stage2="",
+                    answer1=None, answer2=None, bbox=None, error=True,
+                ))
 
-        t = threading.Thread(target=collector, daemon=True)
-        t.start()
-        collectors.append(t)
-
-    done.wait(timeout=3600)
-    for t in collectors:
-        t.join(timeout=5)
+    prev_hook = engine.on_completion
+    engine.on_completion = completions.put
+    wt = threading.Thread(target=worker, daemon=True)
+    wt.start()
+    try:
+        for i in range(n):
+            ids, prepped = processor.encode(prompts[i], [resized[i]])
+            prefix_key = None
+            prefix_len = 0
+            n_prefix_images = 0
+            if image_keys is not None:
+                pstr = prefix_str if prefix_str is not None else PT.PREFIX
+                pids = tk.encode(pstr)
+                n_prefix_images = pids.count(cfg.tokens.image_pad)
+                grids = [g for _, g in prepped]
+                pids = processor.expand_image_pads(pids, grids[:n_prefix_images])
+                if list(ids[: len(pids)]) == list(pids):
+                    prefix_len = len(pids)
+                    prefix_key = f"{image_keys[i]}|{grids[:n_prefix_images]}"
+            t_submit[i] = time.time()
+            engine.submit(Request(
+                request_id=f"ep{i}-s1", token_ids=ids, images=prepped,
+                max_tokens=s1_budget[i], temperature=temperature, hold_slot=True,
+                prefix_key=prefix_key, prefix_len=prefix_len, n_prefix_images=n_prefix_images,
+            ))
+        done.wait(timeout=3600)
+        wt.join(timeout=5)
+    finally:
+        engine.on_completion = prev_hook
     return results  # type: ignore[return-value]

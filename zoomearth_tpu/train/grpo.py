@@ -87,6 +87,11 @@ class GRPOConfig:
     use_lora: bool = False
     lora_r: int = 8
     lora_alpha: float = 16.0
+    # Log rollout samples (reference grpo_config.py log_completions: a wandb table of
+    # prompt/completion/reward rows): appends jsonl records to completions_path (or
+    # "grpo_completions.jsonl") each step — the offline-first equivalent.
+    log_completions: bool = False
+    completions_path: Optional[str] = None
     # Stage-2 rollouts continue from the stage-1 KV cache (prefilling only the crop's
     # vision tokens) AND the training sequence keeps the GENERATED stage-1 tokens
     # verbatim. The reference instead re-tokenizes the stitched text (decode->strip->
@@ -723,4 +728,22 @@ class GRPOTrainer:
         for fi, name in enumerate(self.reward_names):
             metrics[f"rewards/{name}"] = float(rb.rewards_per_func[:, fi].mean())
         self.metrics_history.append(metrics)
+        if self.grpo.log_completions:
+            self._log_completions(rb)
         return metrics
+
+    def _log_completions(self, rb: RolloutBatch):
+        """Append this step's rollout samples as jsonl (reference log_completions,
+        grpo_config.py:22-350: a wandb completion table; offline-first here)."""
+        import json
+
+        path = self.grpo.completions_path or "grpo_completions.jsonl"
+        with open(path, "a") as f:
+            for i in range(len(rb.completions1)):
+                f.write(json.dumps({
+                    "step": self._step_count,
+                    "completion1": rb.completions1[i],
+                    "completion2": rb.completions2[i],
+                    "reward": float(rb.rewards_per_func[i].sum()),
+                    "advantage": float(rb.advantages[i]),
+                }) + "\n")

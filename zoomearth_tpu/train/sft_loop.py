@@ -165,8 +165,13 @@ def train_sft(
     mesh: Optional[Mesh] = None,
     image_loader=None,
     max_steps: Optional[int] = None,
+    callbacks: Optional[list] = None,
 ):
-    """Run the SFT loop. Returns (params, metrics_history)."""
+    """Run the SFT loop. Returns (params, metrics_history).
+
+    callbacks: train.callbacks-style objects; `on_save(step, ckpt_dir, params)` fires
+    after each checkpoint save (reference PushToHubRevisionCallback semantics,
+    utils/callbacks.py:28-85 — HF export + benchmark job triggering)."""
     tx = make_optimizer(sft_cfg)
     if mesh is not None:
         p_shard = param_shardings(params, mesh)
@@ -231,6 +236,12 @@ def train_sft(
                     logger.log({k: v for k, v in rec.items() if k != "step"}, global_step)
                 if global_step % loop_cfg.save_steps == 0:
                     ckpt.save(global_step, params, opt_state, extra={"epoch": epoch, "loss": float(metrics["loss"])})
+                    if callbacks:
+                        from .callbacks import run_callbacks
+
+                        run_callbacks(callbacks, global_step,
+                                      os.path.join(loop_cfg.output_dir, f"checkpoint-{global_step}"),
+                                      params)
                 if max_steps and global_step - start_step >= max_steps:
                     return params, history
         return params, history
