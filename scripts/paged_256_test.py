@@ -51,19 +51,20 @@ def main():
         v = jnp.asarray(rng.standard_normal((B, Hkv, T, D)), jnp.bfloat16)
 
         def mk_contig(n):
-            def run():
+            def run(k, v, lens, q):
                 def body(carry, _):
                     o = decode_attention(carry, k, v, kv_len=lens)
                     return carry + 0.0 * o, o.reshape(-1)[0].astype(jnp.float32)
                 _, outs = jax.lax.scan(body, q, None, length=n)
                 return outs
-            return jax.jit(run)
+            jr = jax.jit(run)
+            return lambda: jr(k, v, lens, q)
 
         s = timed_slope(mk_contig)
         print(f"B={B} T={T} {int(live_frac*100)}% live | contiguous: "
               f"{s*36*1e3:.2f} ms/36-layer-step", flush=True)
 
-        for page in (64, 256, 512):
+        for page in (64, 256):
             max_pages = T // page
             P = B * max_pages
             kpool = jnp.asarray(rng.standard_normal((P, Hkv, page, D)), jnp.bfloat16)
@@ -72,13 +73,16 @@ def main():
             q3 = q[:, 0]
 
             def mk_paged(n, page=page, kpool=kpool, vpool=vpool, bt=bt):
-                def run():
+                # pools passed as ARGS: closure capture embeds them as constants in
+                # the compile payload (HTTP 413 over the remote-compile tunnel)
+                def run(kpool, vpool, bt, lens, q3):
                     def body(carry, _):
                         o = paged_decode_attention(carry, kpool, vpool, bt, lens, page_size=page)
                         return carry + 0.0 * o, o.reshape(-1)[0].astype(jnp.float32)
                     _, outs = jax.lax.scan(body, q3, None, length=n)
                     return outs
-                return jax.jit(run)
+                jr = jax.jit(run)
+                return lambda: jr(kpool, vpool, bt, lens, q3)
 
             s = timed_slope(mk_paged)
             print(f"B={B} T={T} {int(live_frac*100)}% live | paged[{page}]: "

@@ -12,9 +12,14 @@ HBM scales with LIVE tokens and admission is incremental. This module provides:
 - `paged_decode_attention_reference`: XLA gather-based oracle for tests.
 - `append_to_pages`: scatter one decode step's new kv into the pools.
 
-Measured verdict for the serving engine (PARITY.md "Paged KV measurement"): at the
-ZoomEarth operating point (16 slots x 1536 ctx) slot-contiguous wins end-to-end, so the
-engine defaults to it; this kernel is the drop-in for higher slot counts/contexts.
+Measured verdict (PARITY.md "Paged KV measurement"): page size decides everything.
+At 64-token pages the kernel is DMA-latency-bound and loses ~2.4x; at 256-token pages
+it TIES slot-contiguous at (B=32, T=4096, 30% live) and WINS at (B=64, T=4096, 30%
+live: 13.08 vs 13.52 ms/36-layer step) while allocating HBM proportional to LIVE
+tokens (3.3x less at 30% occupancy — the B=64/T=4096 contiguous cache, 9.7 GB, does
+not even fit next to the int8 params). Default page_size is therefore 256. The
+ZoomEarth serving operating point (<=2k ctx, dense slots) stays slot-contiguous;
+paged-256 is the designated long-context/high-slot configuration.
 """
 
 from __future__ import annotations
@@ -94,7 +99,7 @@ def paged_decode_attention(
     block_table: jnp.ndarray,  # (B, max_pages) int32 page ids (unused entries arbitrary)
     lengths: jnp.ndarray,  # (B,) valid kv tokens per row
     *,
-    page_size: int = 64,
+    page_size: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """GQA decode attention over paged KV. Returns (B, H, D) in q.dtype."""
@@ -131,7 +136,7 @@ def paged_decode_attention(
     return out.reshape(B, H, D)
 
 
-def paged_decode_attention_reference(q, kpool, vpool, block_table, lengths, *, page_size=64):
+def paged_decode_attention_reference(q, kpool, vpool, block_table, lengths, *, page_size=256):
     """XLA oracle: gather pages into contiguous kv then run the masked GQA softmax."""
     from .attention import decode_attention
 
@@ -146,7 +151,7 @@ def paged_decode_attention_reference(q, kpool, vpool, block_table, lengths, *, p
     return decode_attention(q[:, None], k, v, kv_len=lengths)[:, 0]
 
 
-def append_to_pages(kpool, vpool, k_new, v_new, block_table, lengths, *, page_size=64):
+def append_to_pages(kpool, vpool, k_new, v_new, block_table, lengths, *, page_size=256):
     """Scatter one decode step's kv (B, Hkv, D) into the pools at each row's position.
 
     Returns (kpool, vpool). Position = lengths[b]; page = block_table[b, pos // ps].
