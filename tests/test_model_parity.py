@@ -110,7 +110,10 @@ def test_vit_parity_with_padding(hf_model, jax_params):
         jax_params["vision"], CFG.vision, pv_pad,
         meta.perm, meta.inv_perm_merged, meta.seg_window, meta.seg_full, meta.pos_ids,
     )
-    np.testing.assert_allclose(np.asarray(out), ref, atol=3e-5, rtol=1e-4)
+    # output is BUCKET-sized (shape depends only on pad_to, never the image mix —
+    # downstream programs stay compile-stable); real merged tokens lead, pads trail
+    assert out.shape[0] == pad_to // CFG.vision.merge_unit
+    np.testing.assert_allclose(np.asarray(out)[: ref.shape[0]], ref, atol=3e-5, rtol=1e-4)
 
 
 def _make_sequence(grids, text_before=5, text_after=7, seed=1):

@@ -41,7 +41,7 @@ class VisionMetadata:
     """Host-computed, shape-static ViT forward metadata for one packed image batch."""
 
     perm: np.ndarray  # (S,) int32: patch permutation into window order
-    inv_perm_merged: np.ndarray  # (S/m²,) int32: merged-token permutation back to image order
+    inv_perm_merged: np.ndarray  # (S/m²,) int32: merged-token perm back to image order (pads map to the identity tail)
     seg_window: np.ndarray  # (S,) int32 window id per patch (window order); pad = PAD_SEG
     seg_full: np.ndarray  # (S,) int32 image id per patch (window order); pad = PAD_SEG
     pos_ids: np.ndarray  # (S, 2) int32 rotary (h, w) ids per patch (window order)
@@ -128,6 +128,16 @@ def _vision_metadata_cached(key) -> VisionMetadata:
         seg_window = np.concatenate([seg_window, np.full(pad_n, PAD_SEG)])
         seg_full = np.concatenate([seg_full, np.full(pad_n, PAD_SEG)])
         pos = np.concatenate([pos, np.zeros((pad_n, 2), dtype=pos.dtype)])
+        # Pad the merged-token inverse permutation too (identity tail: pad patches sit
+        # at the window-order tail, so pad merged-token j maps to itself). This keeps
+        # the ViT OUTPUT row count at pad_to/m2 — a function of the BUCKET, not of the
+        # real image mix. Sized-by-real-count output made every downstream program
+        # (engine pool prefill, eval batches) recompile whenever the number of images
+        # in a batch changed, silently defeating the patch buckets.
+        n_merged = n_patches // m2
+        inv_perm_merged = np.concatenate(
+            [inv_perm_merged, np.arange(n_merged, pad_to // m2)]
+        )
 
     return VisionMetadata(
         perm=perm.astype(np.int32),
@@ -198,7 +208,7 @@ def vit_forward(
     cfg: VisionConfig,
     pixel_values: jnp.ndarray,  # (S, patch_dim) — conv-patch layout from preprocess
     perm: jnp.ndarray,  # (S,) metadata arrays (device copies of VisionMetadata)
-    inv_perm_merged: jnp.ndarray,  # (S_real/m²,)
+    inv_perm_merged: jnp.ndarray,  # (S/m²,) — bucket-sized; pad rows map to themselves
     seg_window: jnp.ndarray,  # (S,)
     seg_full: jnp.ndarray,  # (S,)
     pos_ids: jnp.ndarray,  # (S, 2)
@@ -206,8 +216,10 @@ def vit_forward(
     """Packed ViT forward -> (S_real/m², out_hidden_size) merged vision embeddings
     in original image order.
 
-    S may exceed the real patch count (bucketed); pad rows are isolated by seg=-1 and
-    dropped by the inv_perm_merged gather (which only indexes real tokens).
+    S may exceed the real patch count (bucketed); pad rows are isolated by seg=-1.
+    The output has S/m² rows — real merged tokens first (image order), pad rows at the
+    tail — so the output SHAPE depends only on the bucket, never on the image mix
+    (callers gather only the leading real rows via the image-pad positions).
 
     pixel_values may be uint8 (raw bytes from preprocess_image_u8 — 4x cheaper on the
     host->device link): CLIP normalization then runs here, in the numpy op order
@@ -232,4 +244,4 @@ def vit_forward(
     x = x.reshape(-1, cfg.merge_unit * cfg.hidden_size)
     x = jax.nn.gelu(x @ params["merger"]["w0"] + params["merger"]["b0"], approximate=False)
     x = x @ params["merger"]["w1"] + params["merger"]["b1"]
-    return jnp.take(x, inv_perm_merged, axis=0)  # back to image order, pads dropped
+    return jnp.take(x, inv_perm_merged, axis=0)  # image order; pad rows at the tail
