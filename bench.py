@@ -215,15 +215,14 @@ def main():
     # (~1-1.5 s/wave at batch 64). Same production semantics as the engine's
     # image-block prefix KV cache; generation consumes them via the precomputed
     # vision_embeds path (vlm_forward / Generator._prefill with meta=None).
-    from zoomearth_tpu.models.vlm import compute_vision_embeds
+    from zoomearth_tpu.models.vlm import compute_vision_embeds, vision_meta_to_device
     from zoomearth_tpu.models.vit import vision_metadata
 
     def _embed_tiles():
         pv = np.concatenate([p for p, _ in stage1_prepped], axis=0)
         grids = [g for _, g in stage1_prepped]
         meta = vision_metadata(grids, cfg.vision, pad_to=pv.shape[0])
-        meta_dev = {k: jnp.asarray(getattr(meta, k)) for k in
-                    ("perm", "inv_perm_merged", "seg_window", "seg_full", "pos_ids")}
+        meta_dev = vision_meta_to_device(meta)
         fn = jax.jit(lambda p, x, m: compute_vision_embeds(p, cfg, x, m))
         return fn(params, jnp.asarray(pv), meta_dev)
 

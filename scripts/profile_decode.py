@@ -46,10 +46,10 @@ def build_step_loop(params, cfg, B, T, n_steps, mode):
             if mode == "nosample":
                 tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             else:
+                # keep the sampling chain LIVE (a constant-pred where() would let XLA
+                # DCE the categorical, making full == nosample by construction)
                 key, sub = jax.random.split(key)
-                greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                sampled = jax.random.categorical(sub, logits / 0.7, axis=-1).astype(jnp.int32)
-                tok = jnp.where(True, greedy_tok, sampled)
+                tok = jax.random.categorical(sub, logits / 0.7, axis=-1).astype(jnp.int32)
             return (cache, tok, pos + 1, key), tok
 
         (cache, cur, pos, key), toks = jax.lax.scan(

@@ -167,3 +167,25 @@ def test_oversized_image_burst_splits(params):
     engine.run_until_idle()
     assert all(f"s{i}" in engine.results for i in range(3))
     assert engine.stats["prefills"] >= 2  # split happened
+
+
+def test_int8_kv_cache_engine(params):
+    """The engine's row-compacted prefill must carry the int8 cache's per-token scales
+    through its gather/scatter (regression: KVCache(k, v, length) dropped them and the
+    decoder's quant path crashed on None). Prefix caching is disabled under int8 (the
+    prefix pool stores raw kv only), so prefix_key requests fall back to full prefill."""
+    engine = ServingEngine(
+        params, CFG, max_slots=2, max_seq_len=128, decode_chunk=4,
+        cache_dtype="int8", length_buckets=(64, 128), patch_buckets=(0, 64),
+    )
+    engine.admission_debounce_s = 0.0
+    prompts = [_prompt(21, 6), _prompt(22, 9, grid=(1, 4, 4)), _prompt(23, 12)]
+    for i, (ids, imgs) in enumerate(prompts):
+        engine.submit(Request(request_id=f"q{i}", token_ids=ids, images=imgs,
+                              max_tokens=6, prefix_key="p" if i == 0 else None,
+                              prefix_len=3 if i == 0 else 0))
+    engine.run_until_idle()
+    for i in range(3):
+        c = engine.get_completion(f"q{i}", timeout=1)
+        assert len(c.token_ids) >= 1
+    assert engine.stats["prefix_saves"] == 0  # int8 mode: prefix caching off

@@ -190,44 +190,40 @@ def _attn_layer(
                 out = flash_decode_attention(q, k_cache, v_cache, cache_len + 1)
             else:
                 out = decode_attention(q, k_cache, v_cache, kv_len=cache_len + 1)
-        else:
-            if quant and use_flash:
-                # int8 chunk prefill: the flash kernel streams int8 values (half the
-                # HBM bytes) and applies the per-token scales in VMEM — a dequantized
-                # (B, Hkv, T, D) bf16 copy per layer would cost ~3.6 GB of extra
-                # traffic per prefill pass at 3B scale (measured: killed the win)
-                from ..ops.flash_causal import flash_causal_attention
+        elif quant and use_flash:
+            # int8 chunk prefill: the flash kernel streams int8 values (half the
+            # HBM bytes) and applies the per-token scales in VMEM — a dequantized
+            # (B, Hkv, T, D) bf16 copy per layer would cost ~3.6 GB of extra
+            # traffic per prefill pass at 3B scale (measured: killed the win)
+            from ..ops.flash_causal import flash_causal_attention
 
-                out = flash_causal_attention(
-                    q, k_cache, v_cache, positions, cache_len + S, ks_cache, vs_cache
-                )
-                k_read = v_read = None
-            elif quant:
-                # small-size XLA path: transient dequantized view
+            out = flash_causal_attention(
+                q, k_cache, v_cache, positions, cache_len + S, ks_cache, vs_cache
+            )
+        elif use_flash:
+            # Large-batch chunk prefill: XLA's masked attention materializes a
+            # (B, H, S, T) fp32 logits tensor (3.5 GB at B=48/S=768/T=1536 — OOM);
+            # the Pallas causal kernel streams the kv-head-major cache directly.
+            from ..ops.flash_causal import flash_causal_attention
+
+            out = flash_causal_attention(q, k_cache, v_cache, positions, cache_len + S)
+        else:
+            # Chunked prefill into an existing cache (stage-2 continuation): XLA's
+            # fused attention wins at small B*S*T (measured on-TPU). int8 mode takes
+            # a transient dequantized view (small sizes only).
+            if quant:
                 k_read = k_cache.astype(jnp.bfloat16) * ks_cache[..., None]
                 v_read = v_cache.astype(jnp.bfloat16) * vs_cache[..., None]
             else:
                 k_read, v_read = k_cache, v_cache
-            if quant and use_flash:
-                pass
-            elif use_flash:
-                # Large-batch chunk prefill: XLA's masked attention materializes a
-                # (B, H, S, T) fp32 logits tensor (3.5 GB at B=48/S=768/T=1536 — OOM);
-                # the Pallas causal kernel streams the kv-head-major cache directly.
-                from ..ops.flash_causal import flash_causal_attention
-
-                out = flash_causal_attention(q, k_read, v_read, positions, cache_len + S)
-            else:
-                # Chunked prefill into an existing cache (stage-2 continuation): XLA's
-                # fused attention wins at small B*S*T (measured on-TPU).
-                T = k_cache.shape[2]
-                slot = jnp.arange(T)[None, :]
-                valid_t = slot < (cache_len[:, None] + S)
-                # kv position: cache slot order == position order per sequence
-                out = causal_attention(
-                    q, k_read, v_read,
-                    positions=positions, kv_positions=slot, valid=valid_t,
-                )
+            T = k_cache.shape[2]
+            slot = jnp.arange(T)[None, :]
+            valid_t = slot < (cache_len[:, None] + S)
+            # kv position: cache slot order == position order per sequence
+            out = causal_attention(
+                q, k_read, v_read,
+                positions=positions, kv_positions=slot, valid=valid_t,
+            )
         new_kv = (k_cache, v_cache, ks_cache, vs_cache)
     out = qdot(out.reshape(B, S, H * D), p["wo"])
     return out, new_kv

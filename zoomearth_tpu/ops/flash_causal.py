@@ -170,9 +170,9 @@ def flash_causal_attention(
         pad_blk = n_blk * block_kv - Tp
         ks2 = jnp.pad(ks.astype(jnp.bfloat16), [(0, 0), (0, 0), (0, pad_blk)]).reshape(B, Hkv, n_blk, block_kv)
         vs2 = jnp.pad(vs.astype(jnp.bfloat16), [(0, 0), (0, 0), (0, pad_blk)]).reshape(B, Hkv, n_blk, block_kv)
-    else:  # dummies: the quant branch is compiled out, but inputs must exist
-        ks2 = jnp.zeros((B, Hkv, n_blk, block_kv), jnp.bfloat16)
-        vs2 = jnp.zeros((B, Hkv, n_blk, block_kv), jnp.bfloat16)
+    else:  # minimal dummies: the quant branch is compiled out, inputs must just exist
+        ks2 = jnp.zeros((1, 1, 8, block_kv), jnp.bfloat16)
+        vs2 = ks2
 
     # q regrouped: (B, Sp, Hkv, G, D) -> block over Sp with G folded in-kernel
     qg = q.reshape(B, Sp, Hkv, G, Dp)

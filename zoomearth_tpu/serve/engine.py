@@ -42,7 +42,7 @@ from ..config import VLMConfig
 from ..models.decoder import KVCache
 from ..models.rope import mrope_chunk_position_ids, mrope_position_ids
 from ..models.vit import vision_metadata
-from ..models.vlm import compute_vision_embeds, vlm_forward
+from ..models.vlm import compute_vision_embeds, vision_meta_to_device, vlm_forward
 from ..runtime.generate import DEFAULT_LENGTH_BUCKETS, bucket
 
 # Coarser than the batch Generator's buckets on purpose: admission batches vary in how
@@ -178,7 +178,11 @@ class ServingEngine:
         # distinct compiled program per (S, n_emb) — keep SMALL where compiles are
         # expensive (axon remote compile: minutes per shape).
         self.row_buckets = (4, 8, 16, 32, 64, 128, 256)
-        dtype = cache_dtype or jnp.dtype(cfg.dtype)
+        dtype = jnp.dtype(cache_dtype) if cache_dtype is not None else jnp.dtype(cfg.dtype)
+        # int8 KV works for the slot pool (gather/scatter/decode carry scales), but
+        # the PREFIX pool stores raw kv only — prefix caching is disabled under int8
+        # (requests' prefix_key is ignored) rather than silently decoding wrong values.
+        self._kv_int8 = dtype == jnp.int8
         self.cache = KVCache.create(cfg.text, max_slots, max_seq_len, dtype)
         self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
         self.next_pos = jnp.zeros((max_slots,), jnp.int32)  # M-RoPE position
@@ -259,10 +263,16 @@ class ServingEngine:
         """
         R, S = ids.shape
         T = cache.k[0].shape[2]
-        # gather the participating rows' cache
-        gk = tuple(k[jnp.clip(slot_idx, 0, k.shape[0] - 1)] for k in cache.k)
-        gv = tuple(v[jnp.clip(slot_idx, 0, v.shape[0] - 1)] for v in cache.v)
-        gcache = KVCache(k=gk, v=gv, length=keep_lens)
+        # gather the participating rows' cache (scales too in int8 mode)
+        cidx = jnp.clip(slot_idx, 0, cache.k[0].shape[0] - 1)
+        gk = tuple(k[cidx] for k in cache.k)
+        gv = tuple(v[cidx] for v in cache.v)
+        quant = cache.kscale is not None
+        gcache = KVCache(
+            k=gk, v=gv, length=keep_lens,
+            kscale=tuple(s[cidx] for s in cache.kscale) if quant else None,
+            vscale=tuple(s[cidx] for s in cache.vscale) if quant else None,
+        )
         attn_positions = keep_lens[:, None] + jnp.arange(S)[None]
         attn_valid = jnp.arange(S)[None] < chunk_lens[:, None]
         # pads write to slot T -> dropped by the kv scatter
@@ -286,7 +296,13 @@ class ServingEngine:
             v.at[slot_idx].set(g, mode="drop") for v, g in zip(cache.v, gcache.v)
         )
         new_len = cache.length.at[slot_idx].set(keep_lens + chunk_lens, mode="drop")
-        cache = cache._replace(k=new_k, v=new_v, length=new_len)
+        cache = cache._replace(
+            k=new_k, v=new_v, length=new_len,
+            kscale=tuple(s.at[slot_idx].set(g, mode="drop")
+                         for s, g in zip(cache.kscale, gcache.kscale)) if quant else None,
+            vscale=tuple(s.at[slot_idx].set(g, mode="drop")
+                         for s, g in zip(cache.vscale, gcache.vscale)) if quant else None,
+        )
         greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         temp = jnp.maximum(temps, 1e-4)[:, None]
         sampled = jax.random.categorical(key, logits / temp, axis=-1).astype(jnp.int32)
@@ -379,8 +395,7 @@ class ServingEngine:
                 progress(f"vit[{npatch}]")
             pv = jnp.zeros((npatch, cfg.vision.patch_dim), pixel_dtype)
             meta = vision_metadata([(1, 4, npatch // 4)], cfg.vision, pad_to=npatch)
-            meta_dev = {k: jnp.asarray(getattr(meta, k)) for k in
-                        ("perm", "inv_perm_merged", "seg_window", "seg_full", "pos_ids")}
+            meta_dev = vision_meta_to_device(meta)
             jax.block_until_ready(self._vit_fn(self.params, pv, meta_dev))
         for RB in widths:
             for S in lens:
@@ -522,7 +537,7 @@ class ServingEngine:
             self.slots[slot_idx] = _Slot()
 
     def _prep_request(self, req: Request, slot_idx: int) -> _PrefillRow:
-        if req.prefix_key and req.prefix_len:
+        if req.prefix_key and req.prefix_len and not self._kv_int8:
             prefix_ids = list(req.token_ids[: req.prefix_len])
             entry = self.prefix_store.get(req.prefix_key)
             if entry is not None and entry.token_ids == prefix_ids:
@@ -641,13 +656,7 @@ class ServingEngine:
             meta = vision_metadata(all_grids, cfg.vision, pad_to=n_patches)
             if n_patches > pv.shape[0]:
                 pv = np.concatenate([pv, np.zeros((n_patches - pv.shape[0], pv.shape[1]), pv.dtype)])
-            meta_dev = {
-                "perm": jnp.asarray(meta.perm),
-                "inv_perm_merged": jnp.asarray(meta.inv_perm_merged),
-                "seg_window": jnp.asarray(meta.seg_window),
-                "seg_full": jnp.asarray(meta.seg_full),
-                "pos_ids": jnp.asarray(meta.pos_ids),
-            }
+            meta_dev = vision_meta_to_device(meta)
             # ViT runs as its own program (one compile per patch bucket, shared by all
             # prompt-shape variants of the pool prefill)
             vision_embeds = self._vit_fn(self.params, jnp.asarray(pv), meta_dev)
@@ -676,7 +685,7 @@ class ServingEngine:
 
         key = ("pool", RB, S, n_emb)
         if key not in self._prefill_fns:
-            self._phase_s["prefill_compiles"] += 1
+            self.stats["prefill_compiles"] = self.stats.get("prefill_compiles", 0) + 1
             self._prefill_fns[key] = jax.jit(self._pool_prefill, donate_argnums=(7,))
         t_pool = time.time()
         self._key, sub = jax.random.split(self._key)
@@ -802,7 +811,9 @@ class ServingEngine:
         self.stats["decode_steps"] += self.decode_chunk
         # decode-slot utilization: live rows per executed step (each chunk steps ALL
         # max_slots rows; finished/idle rows burn the same device time)
-        self._phase_s["decode_live_row_steps"] += float(self.active.sum()) * self.decode_chunk
+        self.stats["decode_live_row_steps"] = (
+            self.stats.get("decode_live_row_steps", 0) + int(self.active.sum()) * self.decode_chunk
+        )
         for slot_idx in range(self.max_slots):
             if not self.active[slot_idx]:
                 continue

@@ -137,10 +137,13 @@ def run_episodes_served(
                     handle_stage1(i, c)
                 else:
                     handle_stage2(i, c)
-            except Exception as e:  # a dead worker would silently hang the driver
+            except Exception:  # a dead worker would silently hang the driver
                 import traceback
 
                 traceback.print_exc()
+                # free the held stage-1 slot (a leaked hold blocks a queued episode
+                # forever under oversubscription)
+                engine.release_slot(f"ep{i}-s1")
                 finish(i, EpisodeResult(
                     question=questions[i], stage1=stage1_text[i], stage2="",
                     answer1=None, answer2=None, bbox=None, error=True,

@@ -371,7 +371,7 @@ class GRPOTrainer:
             # episodes pipeline through the serving engine's continuous batching
             (out1_tokens, completions1, completions2, scales, s2_idx,
              s2_prefix_tokens, s2_chunks, s2_chunk_imgs, out2_tokens_by_row) = (
-                self._engine_rollout(rep, full_images, stage1_images, enc1)
+                self._engine_rollout(rep, full_images, stage1_images, enc1, seed)
             )
             return self._stitch_rollout(
                 rep, enc1, prompt1_lens, out1_tokens, completions1, completions2,
@@ -490,7 +490,7 @@ class GRPOTrainer:
         )
         return kept, residual, chunk, crop_prepped
 
-    def _engine_rollout(self, rep, full_images, stage1_images, enc1):
+    def _engine_rollout(self, rep, full_images, stage1_images, enc1, seed=0):
         """Rollouts through the decoupled ServingEngine actor (the reference's
         vllm_grpo_trainer architecture, vllm_grpo_trainer.py:409-420,531-575):
         stage 1 = hold_slot request, stage 2 = Continuation on the held KV. The weight
@@ -506,16 +506,24 @@ class GRPOTrainer:
         eng = self.rollout_engine
         tk = self.processor.tokenizer
         eng.params = self.params  # weight push == same-HBM pointer handoff
+        # seed the engine's sampling key: engine rollouts are reproducible given the
+        # same seed AND the same scheduling (admission batching perturbs the key-split
+        # order — approximate determinism, unlike the bitwise-reproducible Generator)
+        eng._key = jax.random.key(seed)
         was_running = eng._running
         if not was_running:
             eng.start()
         N = len(rep)
         temp = self.grpo.rollout_temperature
+        # unique id prefix per rollout call: a crashed/retried step must never read a
+        # previous call's stale completions under recycled request ids
+        self._rollout_nonce = getattr(self, "_rollout_nonce", 0) + 1
+        rid = lambda i, stage: f"grpo{self._rollout_nonce}-{i}-{stage}"
         try:
             for i in range(N):
                 ids, prepped = enc1[i]
                 eng.submit(Request(
-                    request_id=f"grpo{i}-s1", token_ids=list(ids), images=list(prepped),
+                    request_id=rid(i, "s1"), token_ids=list(ids), images=list(prepped),
                     max_tokens=self.grpo.max_completion_length, temperature=temp,
                     hold_slot=True,
                 ))
@@ -528,12 +536,12 @@ class GRPOTrainer:
             s2_chunks: List[List[int]] = []
             s2_chunk_imgs: List[List] = []
             for i in range(N):
-                c1 = eng.get_completion(f"grpo{i}-s1", timeout=3600)
+                c1 = eng.get_completion(rid(i, "s1"), timeout=3600)
                 out1_tokens[i] = list(c1.token_ids)
                 completions1[i] = tk.decode(c1.token_ids).strip()
                 s = rep[i]
                 if not s.bbox or full_images[i] is None:
-                    eng.release_slot(f"grpo{i}-s1")
+                    eng.release_slot(rid(i, "s1"))
                     continue
                 boxes = extract_bboxes_float(completions1[i])
                 w0, h0 = stage1_images[i].size
@@ -549,16 +557,24 @@ class GRPOTrainer:
                 s2_chunks.append(chunk)
                 s2_chunk_imgs.append(crop_prepped)
                 eng.submit_continuation(Continuation(
-                    parent_request_id=f"grpo{i}-s1", request_id=f"grpo{i}-s2",
+                    parent_request_id=rid(i, "s1"), request_id=rid(i, "s2"),
                     chunk_ids=chunk, images=crop_prepped, kept_tokens=len(kept),
                     max_tokens=self.grpo.stage2_max_completion_length, temperature=temp,
                 ))
             out2_tokens_by_row: Dict[int, List[int]] = {}
             for i in s2_idx:
-                c2 = eng.get_completion(f"grpo{i}-s2", timeout=3600)
+                c2 = eng.get_completion(rid(i, "s2"), timeout=3600)
                 out2_tokens_by_row[i] = list(c2.token_ids)
                 completions2[i] = tk.decode(c2.token_ids).strip()
         finally:
+            # a mid-rollout exception must not poison a PERSISTENT engine: free any
+            # slots still held for this call's requests and drop unread results
+            for key, slot in list(eng.held.items()):
+                if key.startswith(f"grpo{self._rollout_nonce}-"):
+                    eng.release_slot(key)
+            for key in list(eng.results):
+                if key.startswith(f"grpo{self._rollout_nonce}-"):
+                    eng.results.pop(key, None)
             if not was_running:
                 eng.stop()
         return (out1_tokens, completions1, completions2, scales, s2_idx,
