@@ -32,9 +32,10 @@ def _use_flash() -> bool:
 def _use_flash_decode() -> bool:
     # OPT-IN (ZOOMEARTH_FLASH_DECODE=1): standalone the Pallas decode kernel beats the
     # XLA attention chain (65 vs 75 us/call at B=32), but inside the full decode loop
-    # it LOSES (11.0 vs 9.8 ms/step) — the pallas_call boundary blocks XLA from
-    # overlapping neighbor weight streams. Kept for long-context/high-slot regimes
-    # where its length-proportional cache reads dominate scheduling effects.
+    # it LOSES (11.0 vs 9.8 ms/step at B=32; end-to-end bench 4.07 vs 5.62 q/s at
+    # B=64) — the pallas_call boundary blocks XLA from overlapping neighbor weight
+    # streams, and the penalty grows with batch. Kept for long-context regimes where
+    # length-proportional cache reads dominate scheduling effects.
     import os
 
     return jax.default_backend() == "tpu" and os.environ.get("ZOOMEARTH_FLASH_DECODE") == "1"
