@@ -106,6 +106,38 @@ def test_background_pump(params):
         engine.stop()
 
 
+def test_cancel_prefix_no_slot_leak(params):
+    """cancel_prefix must drop queued work, let in-flight rows drain, and sweep
+    held slots + results WITHOUT leaking pool rows — the GRPO error-path teardown
+    against a persistent engine (train/grpo.py _engine_rollout finally-block)."""
+    engine = ServingEngine(
+        params, CFG, max_slots=2, max_seq_len=128, decode_chunk=2,
+        cache_dtype="float32", length_buckets=(64,), patch_buckets=(0,),
+    )
+    ids_a, _ = _prompt(20, 6)
+    ids_b, _ = _prompt(21, 7)
+    ids_c, _ = _prompt(22, 8)
+    # cx0 + keep0 fill both slots; cx1 stays queued (the queued-drop path)
+    engine.submit(Request(request_id="cx0", token_ids=ids_a, images=[], max_tokens=8, hold_slot=True))
+    engine.submit(Request(request_id="keep0", token_ids=ids_b, images=[], max_tokens=6))
+    engine.submit(Request(request_id="cx1", token_ids=ids_c, images=[], max_tokens=8, hold_slot=True))
+    engine.step()  # admit + first decode chunk: cx0/keep0 now IN FLIGHT
+    assert engine.active.any()
+    engine.cancel_prefix("cx")
+    # the in-flight hold_slot row completed and was then swept: no held slot, no result
+    assert not any(k.startswith("cx") for k in engine.held)
+    assert not any(k.startswith("cx") for k in engine.results)
+    # the foreign request is untouched
+    engine.run_until_idle()
+    assert len(engine.get_completion("keep0", timeout=1).token_ids) <= 6
+    # no leak: two NEW hold_slot requests must both find free slots
+    for i in range(2):
+        ids, _ = _prompt(30 + i, 6)
+        engine.submit(Request(request_id=f"n{i}", token_ids=ids, images=[], max_tokens=4, hold_slot=True))
+    engine.run_until_idle()
+    assert sorted(engine.held) == ["n0", "n1"]
+
+
 def test_mixed_temperature(params):
     engine = ServingEngine(
         params, CFG, max_slots=2, max_seq_len=128, decode_chunk=2,

@@ -86,6 +86,36 @@ class TestCollate:
         assert p.startswith("<|image_pad|> \n") and "what?" in p and "<location>" in p
 
 
+def test_lr_schedule_matches_reference_formula():
+    """Warmup-then-linear-decay-to-zero, the reference's
+    get_linear_schedule_with_warmup (src/train/SFT.py:16,201-206):
+    lr(s) = peak*s/warmup for s<warmup; peak*(total-s)/(total-warmup) after."""
+    from zoomearth_tpu.train.sft import make_schedule
+
+    peak, warmup, total = 3e-5, 100, 1000
+    sched = make_schedule(SFTConfig(learning_rate=peak, warmup_steps=warmup, total_steps=total))
+
+    def ref(s):
+        if s < warmup:
+            return peak * s / warmup
+        return peak * max(0.0, (total - s) / (total - warmup))
+
+    for s in [0, 1, 50, 99, 100, 101, 500, 999, 1000]:
+        np.testing.assert_allclose(float(sched(s)), ref(s), rtol=1e-6, atol=1e-12)
+    # past the horizon the lr stays pinned at zero (optax linear_schedule clamps)
+    assert float(sched(1500)) == 0.0
+
+
+def test_total_steps_derived_from_dataset(tmp_path, processor):
+    """total_steps=None -> epochs * steps_per_epoch (reference num_training_steps)."""
+    from zoomearth_tpu.train.sft import make_schedule
+
+    cfg = SFTConfig(learning_rate=1e-3, warmup_steps=2, total_steps=None)
+    assert cfg.total_steps is None
+    # standalone make_schedule falls back to a 10k horizon rather than crashing
+    assert float(make_schedule(cfg)(0)) == 0.0
+
+
 def test_train_loss_decreases_and_resume(tmp_path, processor):
     data = [_sample(i, cut=(i % 2 == 0)) for i in range(4)]
     params = init_vlm_params(jax.random.key(0), CFG)

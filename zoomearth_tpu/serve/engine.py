@@ -190,6 +190,9 @@ class ServingEngine:
         self.slots: List[_Slot] = [_Slot() for _ in range(max_slots)]
         self.held: Dict[str, int] = {}  # request_id -> held slot index
         self.queue: "queue.Queue" = queue.Queue()  # Request | Continuation
+        # ids currently inside a scheduler tick (pulled from the queue but not yet
+        # visible in slots) — cancel_prefix must see these as in-flight
+        self._in_admission: set = set()
         self.results: Dict[str, Completion] = {}
         self._results_cond = threading.Condition()
         self._key = jax.random.key(seed)
@@ -536,6 +539,64 @@ class ServingEngine:
         if slot_idx is not None:
             self.slots[slot_idx] = _Slot()
 
+    def cancel_prefix(self, prefix: str, timeout: float = 300.0):
+        """Cancel every request whose id starts with `prefix`: drop queued items,
+        let in-flight rows finish, then free their held slots and unread results.
+
+        A driver tearing down a rollout mid-flight against a PERSISTENT engine
+        (train/grpo.py error path) needs this: a request still decoding at teardown
+        would complete AFTER a naive held/results sweep and — with hold_slot=True —
+        re-insert a held slot that leaks a pool row forever. Cancellation therefore
+        WAITS for in-flight matching work (including rows inside a scheduler
+        admission, tracked via _in_admission) to drain before sweeping."""
+        def drain_queue():
+            keep, dropped = [], 0
+            while True:
+                try:
+                    item = self.queue.get_nowait()
+                except queue.Empty:
+                    break
+                if item.request_id.startswith(prefix):
+                    dropped += 1
+                else:
+                    keep.append(item)
+            for it in keep:
+                self.queue.put(it)
+            return dropped
+
+        def in_flight():
+            if any(r.startswith(prefix) for r in self._in_admission):
+                return True
+            return any(
+                self.active[i] and s.request is not None
+                and s.request.request_id.startswith(prefix)
+                for i, s in enumerate(self.slots)
+            )
+
+        drain_queue()
+        deadline = time.time() + timeout
+        clean = 0
+        while time.time() < deadline:
+            if in_flight():
+                clean = 0
+                if self._running:
+                    time.sleep(0.02)
+                else:
+                    self.step()  # no pump thread: tick the scheduler ourselves
+                continue
+            # two consecutive clean observations separated by a tick close the
+            # window where an item sits between queue.get and _in_admission
+            clean += 1
+            if clean >= 2:
+                break
+            time.sleep(0.02) if self._running else self.step()
+        drain_queue()  # a continuation enqueued by a late completion's consumer
+        for key in [k for k in self.held if k.startswith(prefix)]:
+            self.release_slot(key)
+        with self._results_cond:
+            for key in [k for k in self.results if k.startswith(prefix)]:
+                self.results.pop(key, None)
+
     def _prep_request(self, req: Request, slot_idx: int) -> _PrefillRow:
         if req.prefix_key and req.prefix_len and not self._kv_int8:
             prefix_ids = list(req.token_ids[: req.prefix_len])
@@ -760,41 +821,49 @@ class ServingEngine:
         free = [i for i in range(self.max_slots) if not self.active[i] and not self.slots[i].held]
         taken = set()
         debounced = False
-        while True:
-            try:
-                item = self.queue.get_nowait()
-            except queue.Empty:
-                if admissible and not debounced and self.admission_debounce_s > 0:
-                    debounced = True
-                    self._phase_s["debounce_sleep"] += self.admission_debounce_s
-                    time.sleep(self.admission_debounce_s)
-                    continue
-                break
-            if isinstance(item, Continuation):
-                if item.parent_request_id in self.held:
-                    admissible.append((item, None))
-                else:
-                    deferred.append(item)  # parent not finished/held yet
-            else:
-                slot_idx = next((i for i in free if i not in taken), None)
-                if slot_idx is None:
-                    deferred.append(item)
+        try:
+            while True:
+                try:
+                    item = self.queue.get_nowait()
+                except queue.Empty:
+                    if admissible and not debounced and self.admission_debounce_s > 0:
+                        debounced = True
+                        self._phase_s["debounce_sleep"] += self.admission_debounce_s
+                        time.sleep(self.admission_debounce_s)
+                        continue
                     break
-                taken.add(slot_idx)
-                admissible.append((item, slot_idx))
-        if admissible and len(admissible) < self.admit_min_batch and self.active.any():
-            # coalesce: let the decoding slots run on; these rows wait for company
-            deferred.extend(item for item, _ in admissible)
-            admissible = []
-        for item in deferred:
-            self.queue.put(item)
-        if admissible:
-            rows = [
-                self._prep_continuation(item) if isinstance(item, Continuation)
-                else self._prep_request(item, slot_idx)
-                for item, slot_idx in admissible
-            ]
-            self._run_prefill_batch(rows)
+                self._in_admission.add(item.request_id)
+                if isinstance(item, Continuation):
+                    if item.parent_request_id in self.held:
+                        admissible.append((item, None))
+                    else:
+                        deferred.append(item)  # parent not finished/held yet
+                else:
+                    slot_idx = next((i for i in free if i not in taken), None)
+                    if slot_idx is None:
+                        deferred.append(item)
+                        break
+                    taken.add(slot_idx)
+                    admissible.append((item, slot_idx))
+            if admissible and len(admissible) < self.admit_min_batch and self.active.any():
+                # coalesce: let the decoding slots run on; these rows wait for company
+                deferred.extend(item for item, _ in admissible)
+                admissible = []
+            for item in deferred:
+                self.queue.put(item)
+                self._in_admission.discard(item.request_id)
+            if admissible:
+                rows = [
+                    self._prep_continuation(item) if isinstance(item, Continuation)
+                    else self._prep_request(item, slot_idx)
+                    for item, slot_idx in admissible
+                ]
+                self._run_prefill_batch(rows)
+        finally:
+            # slots now reflect the admitted rows (or the tick failed) — either way
+            # cancel_prefix no longer needs the admission shadow
+            for item, _ in admissible:
+                self._in_admission.discard(item.request_id)
         if not self.active.any():
             return False
         t_dec = time.time()

@@ -129,8 +129,13 @@ def run_episodes_served(
             rid = c.request_id
             if not rid.startswith("ep"):
                 continue
-            idx, stage = rid[2:].split("-")
-            i = int(idx)
+            try:
+                idx, stage = rid[2:].split("-")
+                i = int(idx)
+            except ValueError:
+                # a malformed/foreign "ep*" id must not kill the single consumer
+                # thread (a dead worker hangs the driver until the done.wait timeout)
+                continue
             engine.results.pop(rid, None)  # consumed here, not via get_completion
             try:
                 if stage == "s1":

@@ -567,14 +567,12 @@ class GRPOTrainer:
                 out2_tokens_by_row[i] = list(c2.token_ids)
                 completions2[i] = tk.decode(c2.token_ids).strip()
         finally:
-            # a mid-rollout exception must not poison a PERSISTENT engine: free any
-            # slots still held for this call's requests and drop unread results
-            for key, slot in list(eng.held.items()):
-                if key.startswith(f"grpo{self._rollout_nonce}-"):
-                    eng.release_slot(key)
-            for key in list(eng.results):
-                if key.startswith(f"grpo{self._rollout_nonce}-"):
-                    eng.results.pop(key, None)
+            # a mid-rollout exception must not poison a PERSISTENT engine: cancel
+            # everything this call submitted. Requests still in flight at exception
+            # time complete AFTER a naive held/results sweep — with hold_slot=True
+            # they would re-insert into eng.held and leak pool slots forever, so
+            # cancel_prefix waits for them to drain before sweeping.
+            eng.cancel_prefix(f"grpo{self._rollout_nonce}-")
             if not was_running:
                 eng.stop()
         return (out1_tokens, completions1, completions2, scales, s2_idx,
@@ -732,10 +730,11 @@ class GRPOTrainer:
             and (self._step_count + 1) % self.grpo.ref_model_sync_steps == 0
         ):
             self.ref_params = self._sync_ref_fn(self.ref_params, self.params)
+        rewards = self._weighted_rewards(rb.rewards_per_func)
         metrics = {
             "loss": float(loss),
-            "reward": float(rb.rewards_per_func.sum(1).mean()),
-            "reward_std": float(rb.rewards_per_func.sum(1).reshape(-1, self.grpo.num_generations).std(1).mean()),
+            "reward": float(rewards.mean()),
+            "reward_std": float(rewards.reshape(-1, self.grpo.num_generations).std(1).mean()),
             "completion_length": float(aux["completion_length"]),
             "clip_ratio": float(aux["clip_ratio"]),
         }
@@ -748,18 +747,27 @@ class GRPOTrainer:
             self._log_completions(rb)
         return metrics
 
+    def _weighted_rewards(self, rewards_per_func: np.ndarray) -> np.ndarray:
+        """(N, F) per-function rewards -> (N,) TRAINING rewards (same weights the
+        advantage computation applies — logged rewards must match the advantages
+        logged alongside them when grpo.reward_weights is set)."""
+        F = rewards_per_func.shape[1]
+        weights = np.asarray(self.grpo.reward_weights or [1.0] * F, np.float32)
+        return rewards_per_func @ weights
+
     def _log_completions(self, rb: RolloutBatch):
         """Append this step's rollout samples as jsonl (reference log_completions,
         grpo_config.py:22-350: a wandb completion table; offline-first here)."""
         import json
 
         path = self.grpo.completions_path or "grpo_completions.jsonl"
+        rewards = self._weighted_rewards(rb.rewards_per_func)
         with open(path, "a") as f:
             for i in range(len(rb.completions1)):
                 f.write(json.dumps({
                     "step": self._step_count,
                     "completion1": rb.completions1[i],
                     "completion2": rb.completions2[i],
-                    "reward": float(rb.rewards_per_func[i].sum()),
+                    "reward": float(rewards[i]),
                     "advantage": float(rb.advantages[i]),
                 }) + "\n")

@@ -29,7 +29,9 @@ class SFTConfig:
 
     learning_rate: float = 3e-5
     warmup_steps: int = 100
-    total_steps: int = 10000
+    # schedule horizon (reference num_training_steps = epochs * len(dataloader),
+    # SFT.py:201-206); None -> derived from the dataset by train_sft, or 10k standalone
+    total_steps: Optional[int] = None
     weight_decay: float = 0.0
     adam_b1: float = 0.9
     adam_b2: float = 0.999
@@ -37,10 +39,23 @@ class SFTConfig:
     gradient_accumulation_steps: int = 1
 
 
-def make_optimizer(cfg: SFTConfig) -> optax.GradientTransformation:
-    schedule = optax.schedules.warmup_constant_schedule(
-        init_value=0.0, peak_value=cfg.learning_rate, warmup_steps=max(cfg.warmup_steps, 1)
+def make_schedule(cfg: SFTConfig) -> optax.Schedule:
+    """Warmup then LINEAR DECAY TO ZERO at total_steps — the reference's
+    get_linear_schedule_with_warmup (src/train/SFT.py:16,201-206): lr ramps 0 ->
+    learning_rate over warmup_steps, then decays linearly to 0 at total_steps."""
+    warmup = max(cfg.warmup_steps, 1)
+    total = max(cfg.total_steps or 10_000, warmup + 1)
+    return optax.schedules.join_schedules(
+        [
+            optax.schedules.linear_schedule(0.0, cfg.learning_rate, warmup),
+            optax.schedules.linear_schedule(cfg.learning_rate, 0.0, total - warmup),
+        ],
+        boundaries=[warmup],
     )
+
+
+def make_optimizer(cfg: SFTConfig) -> optax.GradientTransformation:
+    schedule = make_schedule(cfg)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(

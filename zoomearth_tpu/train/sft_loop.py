@@ -172,6 +172,12 @@ def train_sft(
     callbacks: train.callbacks-style objects; `on_save(step, ckpt_dir, params)` fires
     after each checkpoint save (reference PushToHubRevisionCallback semantics,
     utils/callbacks.py:28-85 — HF export + benchmark job triggering)."""
+    if sft_cfg.total_steps is None:
+        # reference num_training_steps = epochs * len(dataloader) (SFT.py:201-206)
+        steps_per_epoch = len(dataset) // loop_cfg.batch_size
+        sft_cfg = dataclasses.replace(
+            sft_cfg, total_steps=max(loop_cfg.num_train_epochs * steps_per_epoch, 1)
+        )
     tx = make_optimizer(sft_cfg)
     if mesh is not None:
         p_shard = param_shardings(params, mesh)
