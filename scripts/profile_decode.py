@@ -99,6 +99,7 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--mode", default="full")
     ap.add_argument("--dtype", default="int8")
+    ap.add_argument("--kv", default="bf16", help="KV cache dtype: bf16|int8")
     ap.add_argument("--fuse", action="store_true", help="fuse_decoder_matmuls layout")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -122,30 +123,40 @@ def main():
         patch_mode(mode, cfg)
         for B in map(int, args.batch.split(",")):
             for T in map(int, args.ctx.split(",")):
-                loop = build_step_loop(params, cfg, B, T, args.steps, mode)
+                # SCAN-LENGTH SLOPE timing: per-call dispatch (~0.3-0.7 s) and readback
+                # (~1 s) through the axon tunnel swamp a single scan; (t_long - t_short)
+                # / (n_long - n_short) cancels the fixed costs.
+                n_short, n_long = args.steps, 3 * args.steps
                 cur = jnp.full((B,), 1000, jnp.int32)
                 pos = jnp.full((B,), 700, jnp.int32)
                 key = jax.random.key(0)
 
+                kv_dtype = jnp.int8 if args.kv == "int8" else jnp.bfloat16
+
                 def fresh_cache():
-                    c = KVCache.create(cfg.text, B, T, jnp.bfloat16)
+                    c = KVCache.create(cfg.text, B, T, kv_dtype)
                     return c._replace(length=jnp.full((B,), 700, jnp.int32))
 
                 t0 = time.time()
-                toks = loop(params, fresh_cache(), cur, pos, key)
-                jax.block_until_ready(toks)
+                loops = {n: build_step_loop(params, cfg, B, T, n, mode) for n in (n_short, n_long)}
+                for n, loop in loops.items():
+                    np.asarray(loop(params, fresh_cache(), cur, pos, key))
                 compile_s = time.time() - t0
-                times = []
-                for _ in range(args.reps):
-                    c = fresh_cache()
-                    jax.block_until_ready(c)
-                    t0 = time.time()
-                    toks = loop(params, c, cur, pos, key)
-                    jax.block_until_ready(toks)
-                    times.append(time.time() - t0)
-                ms = min(times) / args.steps * 1000
-                print(f"mode={mode:9s} B={B:3d} T={T:5d} dtype={args.dtype}: "
-                      f"{ms:7.3f} ms/step  (compile {compile_s:.0f}s, reps {['%.3f' % t for t in times]})")
+                t_at = {}
+                for n, loop in loops.items():
+                    times = []
+                    for _ in range(args.reps):
+                        c = fresh_cache()
+                        np.asarray(c.length)
+                        t0 = time.time()
+                        toks = loop(params, c, cur, pos, key)
+                        np.asarray(toks)
+                        times.append(time.time() - t0)
+                    t_at[n] = min(times)
+                ms = (t_at[n_long] - t_at[n_short]) / (n_long - n_short) * 1000
+                print(f"mode={mode:9s} B={B:3d} T={T:5d} w={args.dtype} kv={args.kv}: "
+                      f"{ms:7.3f} ms/step  (slope {n_short}->{n_long}; compile {compile_s:.0f}s; "
+                      f"t{n_short}={t_at[n_short]:.3f}s t{n_long}={t_at[n_long]:.3f}s)")
                 results.append((mode, B, T, ms))
     return results
 

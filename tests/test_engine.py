@@ -204,8 +204,8 @@ def test_oversized_image_burst_splits(params):
 def test_int8_kv_cache_engine(params):
     """The engine's row-compacted prefill must carry the int8 cache's per-token scales
     through its gather/scatter (regression: KVCache(k, v, length) dropped them and the
-    decoder's quant path crashed on None). Prefix caching is disabled under int8 (the
-    prefix pool stores raw kv only), so prefix_key requests fall back to full prefill."""
+    decoder's quant path crashed on None). Prefix caching now COMPOSES with int8 (the
+    pool stores int8 values + scale rows), so the prefix_key request saves its span."""
     engine = ServingEngine(
         params, CFG, max_slots=2, max_seq_len=128, decode_chunk=4,
         cache_dtype="int8", length_buckets=(64, 128), patch_buckets=(0, 64),
@@ -220,4 +220,43 @@ def test_int8_kv_cache_engine(params):
     for i in range(3):
         c = engine.get_completion(f"q{i}", timeout=1)
         assert len(c.token_ids) >= 1
-    assert engine.stats["prefix_saves"] == 0  # int8 mode: prefix caching off
+    assert engine.stats["prefix_saves"] == 1  # int8 mode: prefix caching composes
+
+
+def test_prefix_cache_token_identity_int8(params):
+    """Prefix caching under the int8 KV cache (VERDICT r3 item 2): the prefix pool
+    carries int8 values + per-token scale rows, so a prefix HIT must emit tokens
+    IDENTICAL to the cold full-prefill path at the same cache dtype (per-token
+    quantization is deterministic, so hit and cold read bit-identical cache)."""
+    tok = CFG.tokens
+    rng = np.random.default_rng(11)
+    pv, grid = _image((1, 4, 4), 11)
+    n_img = (grid[0] * grid[1] * grid[2]) // CFG.vision.merge_unit
+    prefix_ids = [tok.im_start] + list(rng.integers(1, 400, size=4)) + \
+        [tok.vision_start] + [tok.image_pad] * n_img + [tok.vision_end]
+    suffixes = [list(rng.integers(1, 400, size=6)) for _ in range(3)]
+
+    def run(with_prefix):
+        engine = ServingEngine(
+            params, CFG, max_slots=2, max_seq_len=128, decode_chunk=4,
+            cache_dtype="int8", length_buckets=(64, 128), patch_buckets=(64,),
+        )
+        outs = []
+        for i, suf in enumerate(suffixes):
+            engine.submit(Request(
+                request_id=f"p{i}", token_ids=prefix_ids + suf, images=[(pv, grid)],
+                max_tokens=8,
+                prefix_key="imgA" if with_prefix else None,
+                prefix_len=len(prefix_ids) if with_prefix else 0,
+                n_prefix_images=1 if with_prefix else 0,
+            ))
+            engine.run_until_idle()  # serialize so hit/miss is deterministic
+        for i in range(len(suffixes)):
+            outs.append(engine.get_completion(f"p{i}", timeout=1).token_ids)
+        return engine, outs
+
+    eng_hit, hit_outs = run(with_prefix=True)
+    assert eng_hit.stats["prefix_saves"] == 1
+    assert eng_hit.stats["prefix_hits"] == 2
+    _, cold_outs = run(with_prefix=False)
+    assert hit_outs == cold_outs

@@ -73,6 +73,25 @@ def test_garbage_beyond_length_ignored():
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
+def test_int8_quant_matches_q8_oracle():
+    """The int8 branch (scale blocks streamed per chunk) vs decode_attention_q8 —
+    both are exact w.r.t. the quantized values, so they must agree to fp tolerance.
+    Ragged lengths exercise the dead-chunk skip with live scale blocks."""
+    from zoomearth_tpu.ops.attention import decode_attention_q8
+
+    rng = np.random.default_rng(4)
+    B, H, Hkv, D, T, chunk = 4, 16, 2, 128, 1024, 256
+    q = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+    k8 = jnp.asarray(rng.integers(-127, 128, (B, Hkv, T, D)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (B, Hkv, T, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.03, (B, Hkv, T)), jnp.float32).astype(jnp.bfloat16)
+    vs = jnp.asarray(rng.uniform(0.005, 0.03, (B, Hkv, T)), jnp.float32).astype(jnp.bfloat16)
+    lens = jnp.asarray([1, T, chunk + 3, T // 2], jnp.int32)
+    ref = decode_attention_q8(q, k8, v8, ks, vs, kv_len=lens)
+    out = flash_decode_attention(q, k8, v8, lens, ks, vs, chunk=chunk, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-4, rtol=3e-4)
+
+
 def test_3d_q_shape():
     rng = np.random.default_rng(3)
     B, H, Hkv, D, T = 2, 4, 2, 64, 256

@@ -40,6 +40,17 @@ def _use_flash_decode() -> bool:
 
     return jax.default_backend() == "tpu" and os.environ.get("ZOOMEARTH_FLASH_DECODE") == "1"
 
+
+def _use_flash_decode_q8() -> bool:
+    # OPT-IN (ZOOMEARTH_FLASH_DECODE_Q8=1), same verdict as the bf16 kernel: despite
+    # streaming HALF the cache bytes, the int8 Pallas decode kernel measured 24.4
+    # ms/step IN-MODEL at B=64/T=1536 vs 21.4 for XLA's decode_attention_q8 and 14.8
+    # for the bf16 cache — the pallas_call boundary blocks XLA's cross-op weight
+    # prefetch, and that scheduling loss exceeds the bandwidth win (BASELINE.md r4).
+    import os
+
+    return jax.default_backend() == "tpu" and os.environ.get("ZOOMEARTH_FLASH_DECODE_Q8") == "1"
+
 from .rope import apply_rotary, mrope_cos_sin
 from .vit import rms_norm
 
@@ -177,11 +188,21 @@ def _attn_layer(
                 ks_cache = scatter1(ks_cache, ks_new.transpose(0, 2, 1), idx)
                 vs_cache = scatter1(vs_cache, vs_new.transpose(0, 2, 1), idx)
         if S == 1 and quant:
-            # int8 decode attention: int8 values feed the MXU directly; per-token
-            # scales applied to logits columns (K) and to p rows (V) — exact algebra.
-            out = decode_attention_q8(
-                q, k_cache, v_cache, ks_cache, vs_cache, kv_len=cache_len + 1
-            )
+            T = k_cache.shape[2]
+            if _use_flash_decode_q8() and T % 512 == 0 and D % 128 == 0:
+                # opt-in int8 Pallas decode (see _use_flash_decode_q8: loses in-model
+                # to XLA q8 at our shapes despite half the cache bytes)
+                from ..ops.flash_decode import flash_decode_attention
+
+                out = flash_decode_attention(
+                    q, k_cache, v_cache, cache_len + 1, ks_cache, vs_cache
+                )
+            else:
+                # int8 decode attention: int8 values feed the MXU directly; per-token
+                # scales applied to logits columns (K) and to p rows (V) — exact algebra.
+                out = decode_attention_q8(
+                    q, k_cache, v_cache, ks_cache, vs_cache, kv_len=cache_len + 1
+                )
         elif S == 1:
             # Single-step decode: attend over the prefix + the new token.
             T = k_cache.shape[2]

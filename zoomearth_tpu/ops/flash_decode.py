@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(ncb_ref, len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, chunk, scale):
+def _kernel(ncb_ref, len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr, *, chunk, scale, quant):
     bb = pl.program_id(0)
     c = pl.program_id(1)
 
@@ -55,6 +55,11 @@ def _kernel(ncb_ref, len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         logits = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (N, G, C)
+        if quant:
+            # int8 cache: values stream from HBM at half the bytes; the per-token
+            # scales fold into logit columns here and into p rows before the pv dot
+            # (exact algebra, decode_attention_q8 / flash_causal quant semantics)
+            logits = logits * ks_ref[...].astype(jnp.float32).reshape(N, 1, chunk)
         pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
         # per-row length bound: RB scalar reads from SMEM, selected onto rows via iota
         # (len_ref is scalar-prefetched; tensor-indexed gathers from SMEM don't lower)
@@ -69,6 +74,8 @@ def _kernel(ncb_ref, len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         p = jnp.exp(logits - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_scr[...].reshape(N, G, 1) * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if quant:
+            p = p * vs_ref[...].astype(jnp.float32).reshape(N, 1, chunk)
         pv = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )  # (N, G, D)
@@ -89,6 +96,8 @@ def flash_decode_attention(
     k_cache: jnp.ndarray,  # (B, Hkv, T, D)
     v_cache: jnp.ndarray,
     kv_len: jnp.ndarray,  # (B,) valid kv entries (new token included)
+    ks=None,  # (B, Hkv, T) per-token scales -> k/v are int8 (KVCache int8 mode)
+    vs=None,
     *,
     chunk: int = 512,
     interpret: bool = False,
@@ -96,7 +105,9 @@ def flash_decode_attention(
     """GQA decode attention. Returns the same rank as q, in q.dtype.
 
     T must be a multiple of `chunk`. Rows attend to their first kv_len slots; chunk
-    fetches beyond each row-block's max live chunk are skipped entirely."""
+    fetches beyond each row-block's max live chunk are skipped entirely. With ks/vs,
+    k/v hold int8 per-token-quantized values: the kernel streams them at half the
+    HBM bytes and applies the scales in VMEM (exact decode_attention_q8 algebra)."""
     had_s = q.ndim == 4
     if had_s:
         q = q[:, 0]
@@ -108,9 +119,20 @@ def flash_decode_attention(
     RB = next(r for r in (4, 2, 1) if B % r == 0)
     NC = T // chunk
     scale = D**-0.5
+    quant = ks is not None
     kv_len = jnp.clip(kv_len.astype(jnp.int32), 0, T)
     n_chunks = jnp.maximum((kv_len + chunk - 1) // chunk, 1)  # >=1: always one live block
     ncb = jnp.max(n_chunks.reshape(B // RB, RB), axis=1)  # per row-block max
+
+    if quant:
+        ks2 = ks.astype(jnp.bfloat16)
+        vs2 = vs.astype(jnp.bfloat16)
+    else:  # minimal dummies: the quant branch is compiled out, inputs must just exist
+        ks2 = jnp.zeros((B, Hkv, chunk), jnp.bfloat16)
+        vs2 = ks2
+    # dead-chunk skip for scale blocks mirrors k/v; dummies always map to chunk 0
+    s_idx = (lambda bb, c, ncb, ln: (bb, 0, jnp.minimum(c, ncb[bb] - 1))) if quant else (
+        lambda bb, c, ncb, ln: (bb, 0, 0))
 
     qg = q.reshape(B, Hkv, G, D)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -122,6 +144,8 @@ def flash_decode_attention(
             # index as the previous grid step -> the pipeline skips the fetch
             pl.BlockSpec((RB, Hkv, chunk, D), lambda bb, c, ncb, ln: (bb, 0, jnp.minimum(c, ncb[bb] - 1), 0)),
             pl.BlockSpec((RB, Hkv, chunk, D), lambda bb, c, ncb, ln: (bb, 0, jnp.minimum(c, ncb[bb] - 1), 0)),
+            pl.BlockSpec((RB, Hkv, chunk), s_idx),
+            pl.BlockSpec((RB, Hkv, chunk), s_idx),
         ],
         out_specs=pl.BlockSpec((RB, Hkv, G, D), lambda bb, c, ncb, ln: (bb, 0, 0, 0)),
         scratch_shapes=[
@@ -131,10 +155,10 @@ def flash_decode_attention(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, chunk=chunk, scale=scale),
+        functools.partial(_kernel, chunk=chunk, scale=scale, quant=quant),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
         interpret=interpret,
-    )(ncb, kv_len, qg, k_cache, v_cache)
+    )(ncb, kv_len, qg, k_cache, v_cache, ks2, vs2)
     out = out.reshape(B, H, D)
     return out[:, None] if had_s else out

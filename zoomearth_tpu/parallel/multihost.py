@@ -55,6 +55,23 @@ def make_global_mesh(fsdp: int = 1, tensor: int = 1):
     return make_mesh(data=-1, fsdp=fsdp, tensor=tensor, devices=jax.devices())
 
 
+def global_put(tree, shardings):
+    """Put a host-replicated pytree onto global shardings, across processes.
+
+    Multi-controller jax.device_put cannot target shardings that span
+    non-addressable devices; here every process holds the FULL logical value
+    (deterministic construction from a shared seed/data) and contributes only its
+    addressable shards via make_array_from_callback. Works unchanged in
+    single-process runs."""
+    import numpy as np
+
+    def put(x, s):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree, shardings)
+
+
 def process_info() -> dict:
     return {
         "process_index": jax.process_index(),

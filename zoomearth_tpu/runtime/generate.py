@@ -271,9 +271,7 @@ class Generator:
             attn_positions=attn_positions, attn_valid=attn_valid,
             cache=cache, update_cache_len=False, logit_index=chunk_lens - 1,
             write_pos=write_pos, **vis_kw,
-            # XLA's fused attention beats the Pallas causal kernel at our prefill
-            # sizes (measured on-TPU); flash_causal stays opt-in for long-context
-            use_flash=False,
+            use_flash=use_flash,
         )
         return logits, cache._replace(length=keep_len + chunk_lens)
 
@@ -299,11 +297,16 @@ class Generator:
         B, S = batch.input_ids.shape
         stop_tokens = (cfg.tokens.eos, cfg.tokens.endoftext)
         n_patches = batch.pixel_values.shape[0] if batch.pixel_values is not None else 0
-        big = B * S * self.max_cache_len > 16 * 768 * 1536
+        # bf16 cache: XLA's fused attention beats the Pallas causal kernel at our
+        # chunk-prefill sizes (measured on-TPU) -> use_flash stays False. int8 cache:
+        # the XLA path takes a TRANSIENT DEQUANTIZED bf16 copy of the live KV per
+        # layer (~3.6 GB extra HBM traffic per pass at 3B/B=64 — kills the int8 win);
+        # the flash kernel streams int8 + per-token scales, so quant forces flash.
+        quant = jnp.dtype(self.cache_dtype) == jnp.int8
         key = ("chunk", B, S, n_patches)
         if key not in self._prefill_fns:
             self._prefill_fns[key] = jax.jit(
-                functools.partial(self._chunk_prefill, use_flash=big), donate_argnums=(7,)
+                functools.partial(self._chunk_prefill, use_flash=quant), donate_argnums=(7,)
             )
         chunk_prefill = self._prefill_fns[key]
         dc_key = (B, gen.max_new_tokens, gen.temperature, gen.top_p, stop_tokens)
@@ -318,21 +321,42 @@ class Generator:
                 )
             )
         decode = self._decode_fns[dc_key]
+        import os
+        import time
+
+        timing = os.environ.get("ZOOMEARTH_GEN_TIMING") == "1"
+        t0 = time.time()
         meta = None
         if batch.vision_meta is not None:
             meta = {k: jnp.asarray(v) for k, v in batch.vision_meta.items()}
         pv = jnp.asarray(batch.pixel_values) if batch.pixel_values is not None else None
+        ids_d = jnp.asarray(batch.input_ids)
+        lens_d = jnp.asarray(batch.lengths)
+        pos_d = jnp.asarray(batch.position_ids)
+        if timing:
+            # force the uploads so transfer separates from prefill compute
+            for a in filter(lambda x: x is not None, (pv, ids_d, pos_d)):
+                np.asarray(jax.device_put(a)[(0,) * a.ndim])
+            t1 = time.time()
         first_logits, cache = chunk_prefill(
-            self.params, jnp.asarray(batch.input_ids), jnp.asarray(batch.lengths),
+            self.params, ids_d, lens_d,
             jnp.asarray(keep_len, jnp.int32) if not isinstance(keep_len, jnp.ndarray) else keep_len,
-            jnp.asarray(batch.position_ids), pv, meta, cache,
+            pos_d, pv, meta, cache,
         )
+        if timing:
+            np.asarray(first_logits[0, :1])  # blocking readback: prefill wall time
+            t2 = time.time()
         done0 = jnp.asarray(inert_mask, bool) if inert_mask is not None else None
         tokens, cache = decode(
             self.params, first_logits, cache, jnp.asarray(batch.next_pos), jax.random.key(seed),
             done0,
         )
         tokens = np.asarray(tokens)
+        if timing:
+            import sys
+
+            print(f"    [gen2] transfer {t1 - t0:.2f}s | chunk_prefill {t2 - t1:.2f}s "
+                  f"| decode {time.time() - t2:.2f}s", file=sys.stderr)
         out = []
         for b in range(B):
             row = tokens[b]

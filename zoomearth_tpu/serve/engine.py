@@ -179,9 +179,9 @@ class ServingEngine:
         # expensive (axon remote compile: minutes per shape).
         self.row_buckets = (4, 8, 16, 32, 64, 128, 256)
         dtype = jnp.dtype(cache_dtype) if cache_dtype is not None else jnp.dtype(cfg.dtype)
-        # int8 KV works for the slot pool (gather/scatter/decode carry scales), but
-        # the PREFIX pool stores raw kv only — prefix caching is disabled under int8
-        # (requests' prefix_key is ignored) rather than silently decoding wrong values.
+        # int8 KV composes with the prefix pool: the pool stores int8 values AND the
+        # per-token scale rows (harvest/apply copy both), so image-block prefix reuse
+        # survives in the int8-cache serving config.
         self._kv_int8 = dtype == jnp.int8
         self.cache = KVCache.create(cfg.text, max_slots, max_seq_len, dtype)
         self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
@@ -201,6 +201,19 @@ class ServingEngine:
         self._decode_fn = jax.jit(
             partial(self._decode_steps, n_steps=decode_chunk), donate_argnums=(0,)
         )
+        # Decode row-compaction (vLLM's "step only live seqs" property): when the
+        # live-slot count fits a bucket < max_slots, the decode chunk gathers those
+        # rows' cache, scans at batch R, and scatters back — cache-read bytes scale
+        # with live rows. Each bucket is a separate compiled program (precompile
+        # covers them); () disables compaction.
+        self.decode_row_buckets = tuple(sorted({
+            b for b in (
+                -(-max_slots // 4 // 4) * 4 if max_slots >= 16 else max(1, max_slots // 2),
+                -(-max_slots // 2 // 4) * 4 if max_slots >= 16 else max(1, max_slots // 2),
+                -(-(3 * max_slots) // 4 // 4) * 4 if max_slots >= 16 else max(1, max_slots // 2),
+            ) if 0 < b < max_slots
+        }))
+        self._decode_compact_fns: Dict[int, Callable] = {}
         self.prefix_store: Dict[str, _PrefixEntry] = {}
         self.max_prefixes = 64  # pool rows (~12 MB/row at 3B scale / 512-token cap)
         self.prefix_cap = 512  # longest cacheable prefix span (tokens)
@@ -208,7 +221,7 @@ class ServingEngine:
         # a duplicate save of a live key would burn a fresh index without growing the
         # dict, and the next distinct key would then alias a live row's KV.
         self._free_prefix_rows = list(range(self.max_prefixes - 1, -1, -1))
-        self._ppool = None  # lazily allocated (k_tuple, v_tuple) of (P, Hkv, cap, D)
+        self._ppool = None  # lazy (k, v, ks|None, vs|None) tuples of (P, Hkv, cap[, D])
         # ViT compiled separately (keyed by patch bucket via jit shape caching) so every
         # prompt-shape variant of the pool prefill shares one compiled vision tower
         self._vit_fn = jax.jit(
@@ -287,9 +300,11 @@ class ServingEngine:
             cache=gcache, update_cache_len=False,
             logit_index=jnp.maximum(chunk_lens - 1, 0),
             write_pos=write_pos,
-            # XLA's fused attention beats the Pallas causal kernel at our prefill
-            # sizes (measured on-TPU); flash_causal stays opt-in for long-context
-            use_flash=False,
+            # bf16 cache: XLA's fused attention beats the Pallas causal kernel at
+            # our prefill sizes (measured on-TPU). int8 cache: the XLA path takes a
+            # transient DEQUANTIZED copy of the live KV per layer — the flash kernel
+            # streams int8 + scales instead, so quant forces flash.
+            use_flash=quant,
         )
         # scatter rows back (padding rows: slot_idx == max_slots -> dropped)
         new_k = tuple(
@@ -314,11 +329,14 @@ class ServingEngine:
         next_pos = next_pos.at[slot_idx].set(new_next_pos, mode="drop")
         return cache, cur_tokens, next_pos, tok
 
-    def _apply_prefixes(self, cache, ppool_k, ppool_v, entry_idx, tp, mask):
+    def _apply_prefixes(self, cache, ppool, entry_idx, tp, mask):
         """Seed masked slots' [0, tp_b) cache regions from prefix-pool rows entry_idx.
 
         One program regardless of how many distinct prefixes the admission batch uses —
-        the per-slot source row is a device-side gather from the pool."""
+        the per-slot source row is a device-side gather from the pool. In int8-cache
+        mode the pool carries the per-token scales too (ppool[2]/[3]), so prefix reuse
+        and the int8 KV cache compose instead of silently disabling each other."""
+        ppool_k, ppool_v, ppool_ks, ppool_vs = ppool
         cap = min(ppool_k[0].shape[2], cache.k[0].shape[2])
         m = (
             mask[:, None, None, None]
@@ -336,7 +354,22 @@ class ServingEngine:
             )
             for v, pv in zip(cache.v, ppool_v)
         )
-        return cache._replace(k=new_k, v=new_v)
+        new_ks = new_vs = None
+        if ppool_ks is not None:
+            m3 = m[..., 0]  # (B, 1, cap) mask for the (B, Hkv, T) scale arrays
+            new_ks = tuple(
+                s.at[:, :, :cap].set(jnp.where(m3, ps[entry_idx][:, :, :cap], s[:, :, :cap]))
+                for s, ps in zip(cache.kscale, ppool_ks)
+            )
+            new_vs = tuple(
+                s.at[:, :, :cap].set(jnp.where(m3, ps[entry_idx][:, :, :cap], s[:, :, :cap]))
+                for s, ps in zip(cache.vscale, ppool_vs)
+            )
+        return cache._replace(
+            k=new_k, v=new_v,
+            kscale=new_ks if new_ks is not None else cache.kscale,
+            vscale=new_vs if new_vs is not None else cache.vscale,
+        )
 
     def _decode_steps(self, cache, cur_tokens, next_pos, active, temps, key, params, *, n_steps):
         """Run n_steps decode for all slots; inactive slots write garbage into their own
@@ -368,6 +401,73 @@ class ServingEngine:
             body, (cache, cur_tokens, next_pos, key), None, length=n_steps
         )
         return cache, cur, pos, toks.T  # (B, n_steps)
+
+    def _decode_steps_compact(
+        self, cache, slot_idx, cur_tokens, next_pos, active, temps, key, params, *, n_steps
+    ):
+        """Row-compacted decode chunk: gather the R active slots' cache rows ONCE,
+        run the n_steps scan at batch R, scatter back (same slot_idx pattern as
+        _pool_prefill). Decode attention reads scale with LIVE rows, not max_slots —
+        at the bench's measured 64% occupancy the full-batch chunk burns ~36% of its
+        cache-read bytes on finished rows. The per-chunk gather+scatter costs
+        2 x R/B of one cache pass, amortized over n_steps (~0.4 ms/step-equivalent
+        at R=40/chunk=32 — small next to the ~2 ms/step it saves).
+
+        slot_idx: (R,) pool rows; padding rows carry max_slots (gathers clamp to row
+        0, active=False masks their tokens, every scatter-back DROPS them).
+
+        active/temps arrive already compacted (R,) from the host (host-side state);
+        cur_tokens/next_pos are the full (B,) device arrays, gathered/scattered here.
+        Returns (cache, full cur_tokens, full next_pos, tokens (R, n_steps))."""
+        B = self.max_slots
+        cidx = jnp.clip(slot_idx, 0, B - 1)
+        quant = cache.kscale is not None
+        gcache = KVCache(
+            k=tuple(k[cidx] for k in cache.k),
+            v=tuple(v[cidx] for v in cache.v),
+            length=cache.length[cidx],
+            kscale=tuple(s[cidx] for s in cache.kscale) if quant else None,
+            vscale=tuple(s[cidx] for s in cache.vscale) if quant else None,
+        )
+        full_cur, full_pos = cur_tokens, next_pos
+        cur_tokens = cur_tokens[cidx]
+        next_pos = next_pos[cidx]
+        R = slot_idx.shape[0]
+        pad_id = self.cfg.tokens.pad
+
+        def body(carry, _):
+            gcache, cur, pos, key = carry
+            pos3 = jnp.broadcast_to(pos[None, :, None], (3, R, 1))
+            old_len = gcache.length
+            logits, gcache = vlm_forward(
+                params, self.cfg, cur[:, None], pos3,
+                attn_positions=gcache.length[:, None], cache=gcache,
+            )
+            gcache = gcache._replace(length=jnp.where(active, gcache.length, old_len))
+            logits = logits[:, 0]
+            key, sub = jax.random.split(key)
+            greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            temp = jnp.maximum(temps, 1e-4)[:, None]
+            sampled = jax.random.categorical(sub, logits / temp, axis=-1).astype(jnp.int32)
+            tok = jnp.where(temps <= 0.0, greedy_tok, sampled)
+            tok = jnp.where(active, tok, pad_id)
+            return (gcache, tok, pos + 1, key), tok
+
+        (gcache, cur, pos, key), toks = jax.lax.scan(
+            body, (gcache, cur_tokens, next_pos, key), None, length=n_steps
+        )
+        cache = cache._replace(
+            k=tuple(k.at[slot_idx].set(g, mode="drop") for k, g in zip(cache.k, gcache.k)),
+            v=tuple(v.at[slot_idx].set(g, mode="drop") for v, g in zip(cache.v, gcache.v)),
+            length=cache.length.at[slot_idx].set(gcache.length, mode="drop"),
+            kscale=tuple(s.at[slot_idx].set(g, mode="drop")
+                         for s, g in zip(cache.kscale, gcache.kscale)) if quant else None,
+            vscale=tuple(s.at[slot_idx].set(g, mode="drop")
+                         for s, g in zip(cache.vscale, gcache.vscale)) if quant else None,
+        )
+        full_cur = full_cur.at[slot_idx].set(cur, mode="drop")
+        full_pos = full_pos.at[slot_idx].set(pos, mode="drop")
+        return cache, full_cur, full_pos, toks.T  # toks (R, n_steps)
 
     def precompile(self, *, row_widths: Optional[Sequence[int]] = None,
                    lengths: Optional[Sequence[int]] = None,
@@ -430,6 +530,21 @@ class ServingEngine:
             jnp.zeros((self.max_slots,), bool), jnp.zeros((self.max_slots,), jnp.float32),
             sub, self.params,
         )
+        for R in self.decode_row_buckets:
+            if progress:
+                progress(f"decode_compact[{R}]")
+            if R not in self._decode_compact_fns:
+                self._decode_compact_fns[R] = jax.jit(
+                    partial(self._decode_steps_compact, n_steps=self.decode_chunk),
+                    donate_argnums=(0,),
+                )
+            self._key, sub = jax.random.split(self._key)
+            # all rows padded (slot_idx == max_slots): gathers clamp, scatters drop
+            self.cache, self.cur_tokens, self.next_pos, _ = self._decode_compact_fns[R](
+                self.cache, jnp.full((R,), self.max_slots, jnp.int32),
+                self.cur_tokens, self.next_pos,
+                jnp.zeros((R,), bool), jnp.zeros((R,), jnp.float32), sub, self.params,
+            )
         # prefix programs (apply + harvest at the prefix cap)
         self._ensure_ppool()
         if "apply_prefixes" not in self._prefill_fns:
@@ -437,7 +552,7 @@ class ServingEngine:
         if progress:
             progress("prefix_apply")
         self.cache = self._prefill_fns["apply_prefixes"](
-            self.cache, self._ppool[0], self._ppool[1],
+            self.cache, self._ppool,
             jnp.zeros((self.max_slots,), jnp.int32), jnp.zeros((self.max_slots,), jnp.int32),
             jnp.zeros((self.max_slots,), bool),  # mask False: no-op
         )
@@ -461,36 +576,54 @@ class ServingEngine:
     # prefix KV cache (lazy, keyed store)
     # ------------------------------------------------------------------
 
-    def _harvest_prefix(self, cache, ppool_k, ppool_v, slot, idx, Tp: int):
-        """Copy slot `slot`'s [0, Tp) KV into prefix-pool row idx (jitted per Tp)."""
+    def _harvest_prefix(self, cache, ppool, slot, idx, Tp: int):
+        """Copy slot `slot`'s [0, Tp) KV (and int8 scales) into prefix-pool row idx
+        (jitted per Tp)."""
+        ppool_k, ppool_v, ppool_ks, ppool_vs = ppool
         cap = ppool_k[0].shape[2]
         n = min(Tp, cap)
-        new_k = tuple(
-            jax.lax.dynamic_update_slice(
-                pk,
-                jax.lax.dynamic_slice(k, (slot, 0, 0, 0), (1, k.shape[1], n, k.shape[3])).astype(pk.dtype),
+
+        def copy_row(pool, src):
+            return jax.lax.dynamic_update_slice(
+                pool,
+                jax.lax.dynamic_slice(
+                    src, (slot, 0, 0, 0), (1, src.shape[1], n, src.shape[3])
+                ).astype(pool.dtype),
                 (idx, 0, 0, 0),
             )
-            for k, pk in zip(cache.k, ppool_k)
-        )
-        new_v = tuple(
-            jax.lax.dynamic_update_slice(
-                pv,
-                jax.lax.dynamic_slice(v, (slot, 0, 0, 0), (1, v.shape[1], n, v.shape[3])).astype(pv.dtype),
-                (idx, 0, 0, 0),
+
+        def copy_scale_row(pool, src):
+            return jax.lax.dynamic_update_slice(
+                pool,
+                jax.lax.dynamic_slice(src, (slot, 0, 0), (1, src.shape[1], n)),
+                (idx, 0, 0),
             )
-            for v, pv in zip(cache.v, ppool_v)
-        )
-        return new_k, new_v
+
+        new_k = tuple(copy_row(pk, k) for k, pk in zip(cache.k, ppool_k))
+        new_v = tuple(copy_row(pv, v) for v, pv in zip(cache.v, ppool_v))
+        new_ks = new_vs = None
+        if ppool_ks is not None:
+            new_ks = tuple(copy_scale_row(ps, s) for s, ps in zip(cache.kscale, ppool_ks))
+            new_vs = tuple(copy_scale_row(ps, s) for s, ps in zip(cache.vscale, ppool_vs))
+        return new_k, new_v, new_ks, new_vs
 
     def _ensure_ppool(self):
         if self._ppool is None:
             tc = self.cfg.text
             dtype = self.cache.k[0].dtype
             shape = (self.max_prefixes, tc.num_key_value_heads, self.prefix_cap, tc.head_dim)
+            scales = None, None
+            if self._kv_int8:
+                sshape = shape[:3]
+                scales = (
+                    tuple(jnp.zeros(sshape, jnp.bfloat16) for _ in self.cache.k),
+                    tuple(jnp.zeros(sshape, jnp.bfloat16) for _ in self.cache.v),
+                )
             self._ppool = (
                 tuple(jnp.zeros(shape, dtype) for _ in self.cache.k),
                 tuple(jnp.zeros(shape, dtype) for _ in self.cache.v),
+                scales[0],
+                scales[1],
             )
 
     def _store_prefix(self, key: str, slot: int, token_ids: List[int], next_pos: int):
@@ -511,9 +644,9 @@ class ServingEngine:
         fn_key = ("harvest_prefix", Tp)
         if fn_key not in self._prefill_fns:
             self._prefill_fns[fn_key] = jax.jit(
-                partial(self._harvest_prefix, Tp=Tp), donate_argnums=(1, 2)
+                partial(self._harvest_prefix, Tp=Tp), donate_argnums=(1,)
             )
-        self._ppool = self._prefill_fns[fn_key](self.cache, self._ppool[0], self._ppool[1], slot, idx)
+        self._ppool = self._prefill_fns[fn_key](self.cache, self._ppool, slot, idx)
         self.prefix_store[key] = _PrefixEntry(index=idx, token_ids=list(token_ids), next_pos=next_pos)
         self.stats["prefix_saves"] += 1
 
@@ -598,7 +731,7 @@ class ServingEngine:
                 self.results.pop(key, None)
 
     def _prep_request(self, req: Request, slot_idx: int) -> _PrefillRow:
-        if req.prefix_key and req.prefix_len and not self._kv_int8:
+        if req.prefix_key and req.prefix_len:
             prefix_ids = list(req.token_ids[: req.prefix_len])
             entry = self.prefix_store.get(req.prefix_key)
             if entry is not None and entry.token_ids == prefix_ids:
@@ -740,7 +873,7 @@ class ServingEngine:
                     entry_idx[b] = entry.index
                     tp[b] = entry.length
             self.cache = self._prefill_fns["apply_prefixes"](
-                self.cache, self._ppool[0], self._ppool[1],
+                self.cache, self._ppool,
                 jnp.asarray(entry_idx), jnp.asarray(tp), jnp.asarray(pmask),
             )
 
@@ -867,27 +1000,56 @@ class ServingEngine:
         if not self.active.any():
             return False
         t_dec = time.time()
-        temps = np.array(
-            [s.request.temperature if s.request else 0.0 for s in self.slots], np.float32
-        )
+        live = [i for i in range(self.max_slots) if self.active[i]]
+        bucket_R = next((b for b in self.decode_row_buckets if b >= len(live)), None)
         self._key, sub = jax.random.split(self._key)
-        self.cache, self.cur_tokens, self.next_pos, toks = self._decode_fn(
-            self.cache, self.cur_tokens, self.next_pos,
-            jnp.asarray(self.active), jnp.asarray(temps), sub, self.params,
-        )
-        toks = np.asarray(toks)
+        if bucket_R is not None:
+            # row-compacted chunk: step only a gathered bucket of the live rows
+            slot_idx = np.full((bucket_R,), self.max_slots, np.int32)
+            slot_idx[: len(live)] = live
+            act = np.zeros((bucket_R,), bool)
+            act[: len(live)] = True
+            temps = np.array(
+                [self.slots[i].request.temperature if self.slots[i].request else 0.0
+                 for i in live] + [0.0] * (bucket_R - len(live)), np.float32,
+            )
+            fn = self._decode_compact_fns.get(bucket_R)
+            if fn is None:
+                fn = self._decode_compact_fns[bucket_R] = jax.jit(
+                    partial(self._decode_steps_compact, n_steps=self.decode_chunk),
+                    donate_argnums=(0,),
+                )
+            self.cache, self.cur_tokens, self.next_pos, toks_c = fn(
+                self.cache, jnp.asarray(slot_idx), self.cur_tokens, self.next_pos,
+                jnp.asarray(act), jnp.asarray(temps), sub, self.params,
+            )
+            toks_np = np.asarray(toks_c)  # (bucket_R, n_steps)
+            row_toks = {i: toks_np[j] for j, i in enumerate(live)}
+            stepped_rows = bucket_R
+        else:
+            temps = np.array(
+                [s.request.temperature if s.request else 0.0 for s in self.slots], np.float32
+            )
+            self.cache, self.cur_tokens, self.next_pos, toks = self._decode_fn(
+                self.cache, self.cur_tokens, self.next_pos,
+                jnp.asarray(self.active), jnp.asarray(temps), sub, self.params,
+            )
+            toks_np = np.asarray(toks)
+            row_toks = {i: toks_np[i] for i in live}
+            stepped_rows = self.max_slots
         self._phase_s["decode_device"] += time.time() - t_dec
         self.stats["decode_steps"] += self.decode_chunk
-        # decode-slot utilization: live rows per executed step (each chunk steps ALL
-        # max_slots rows; finished/idle rows burn the same device time)
+        # decode-slot utilization: live rows vs device rows actually stepped (with
+        # compaction the latter tracks the bucket, not max_slots)
         self.stats["decode_live_row_steps"] = (
-            self.stats.get("decode_live_row_steps", 0) + int(self.active.sum()) * self.decode_chunk
+            self.stats.get("decode_live_row_steps", 0) + len(live) * self.decode_chunk
         )
-        for slot_idx in range(self.max_slots):
-            if not self.active[slot_idx]:
-                continue
+        self.stats["decode_device_row_steps"] = (
+            self.stats.get("decode_device_row_steps", 0) + stepped_rows * self.decode_chunk
+        )
+        for slot_idx in live:
             slot = self.slots[slot_idx]
-            for t in toks[slot_idx]:
+            for t in row_toks[slot_idx]:
                 t = int(t)
                 slot.generated.append(t)
                 slot.remaining -= 1
