@@ -1,0 +1,75 @@
+"""Throughput/latency frontier: run bench.py across operating points on the real TPU.
+
+BASELINE.json's north-star metric is queries/sec/chip AND p50 episode latency — a
+single throughput point hides the tradeoff (r3 bought 5.6 q/s at p50 12.7 s vs 4.4
+q/s at 7.0 s). This sweeps the operating points and writes frontier.json + a
+markdown table for BASELINE.md.
+
+Usage: python scripts/frontier.py [--quick]   (~15 min per point; compiles cached
+across points only where shapes match, so expect the first run of each batch size
+to pay the compile bill)
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+CONFIGS = [
+    ("wave-32", {"BENCH_BATCH": "32"}),
+    ("wave-48", {"BENCH_BATCH": "48"}),
+    ("wave-64", {"BENCH_BATCH": "64"}),
+    ("wave-64-kvint8", {"BENCH_BATCH": "64", "BENCH_KV_INT8": "1"}),
+    ("wave-96-kvint8", {"BENCH_BATCH": "96", "BENCH_KV_INT8": "1"}),
+    ("engine-64", {"BENCH_BATCH": "64", "BENCH_MODE": "engine"}),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None, help="comma-separated config names")
+    ap.add_argument("--out", default="frontier.json")
+    args = ap.parse_args()
+    rows = []
+    for name, env in CONFIGS:
+        if args.only and name not in args.only.split(","):
+            continue
+        print(f"=== {name} ===", file=sys.stderr, flush=True)
+        e = dict(os.environ)
+        e.update(env)
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, "bench.py"], env=e, capture_output=True, text=True,
+            timeout=3600,
+        )
+        wall = time.time() - t0
+        line = next((l for l in reversed(proc.stdout.splitlines())
+                     if l.startswith("{")), None)
+        if proc.returncode != 0 or line is None:
+            print(f"{name}: FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}",
+                  file=sys.stderr)
+            rows.append({"config": name, "error": proc.returncode})
+            continue
+        rec = json.loads(line)
+        rec["config"] = name
+        rec["wall_s"] = round(wall, 1)
+        rows.append(rec)
+        print(f"{name}: {rec['value']} q/s  p50={rec.get('p50_latency_s')}s "
+              f"p95={rec.get('p95_latency_s')}s  ({wall:.0f}s wall)", flush=True)
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=2)
+    # markdown table for BASELINE.md
+    print("\n| config | q/s/chip | vs baseline | p50 (s) | p95 (s) |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        if "error" in r:
+            print(f"| {r['config']} | FAILED | | | |")
+        else:
+            print(f"| {r['config']} | {r['value']} | {r['vs_baseline']}x "
+                  f"| {r.get('p50_latency_s')} | {r.get('p95_latency_s')} |")
+
+
+if __name__ == "__main__":
+    main()

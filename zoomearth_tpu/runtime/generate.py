@@ -297,16 +297,19 @@ class Generator:
         B, S = batch.input_ids.shape
         stop_tokens = (cfg.tokens.eos, cfg.tokens.endoftext)
         n_patches = batch.pixel_values.shape[0] if batch.pixel_values is not None else 0
-        # bf16 cache: XLA's fused attention beats the Pallas causal kernel at our
-        # chunk-prefill sizes (measured on-TPU) -> use_flash stays False. int8 cache:
-        # the XLA path takes a TRANSIENT DEQUANTIZED bf16 copy of the live KV per
-        # layer (~3.6 GB extra HBM traffic per pass at 3B/B=64 — kills the int8 win);
-        # the flash kernel streams int8 + per-token scales, so quant forces flash.
+        # Chunk-prefill attention path: at the wave shape (B=64/S=384/T=1536) the
+        # Pallas causal kernel beats XLA's masked attention 4.8 vs 8.2 ms/layer-call
+        # (probe_chunk_prefill, r4) — use flash for big shapes. Small shapes (engine
+        # trickle admissions) keep XLA (measured winner there). int8 cache ALWAYS
+        # takes flash: the XLA path materializes a dequantized bf16 copy of the live
+        # KV per layer (~3.6 GB extra HBM traffic per pass at 3B/B=64).
         quant = jnp.dtype(self.cache_dtype) == jnp.int8
+        big = B * S * self.max_cache_len > 16 * 768 * 1536
         key = ("chunk", B, S, n_patches)
         if key not in self._prefill_fns:
             self._prefill_fns[key] = jax.jit(
-                functools.partial(self._chunk_prefill, use_flash=quant), donate_argnums=(7,)
+                functools.partial(self._chunk_prefill, use_flash=quant or big),
+                donate_argnums=(7,),
             )
         chunk_prefill = self._prefill_fns[key]
         dc_key = (B, gen.max_new_tokens, gen.temperature, gen.top_p, stop_tokens)
@@ -376,9 +379,15 @@ class Generator:
         *,
         seed: int = 0,
         return_cache: bool = False,
+        block: bool = True,
     ):
         """Run prefill + decode. Returns list of generated token lists (stop token
-        excluded), right-trimmed."""
+        excluded), right-trimmed.
+
+        block=False: dispatch-only — returns (tokens_device, cache) WITHOUT the
+        blocking readback; call trim_generated(np.asarray(tokens_device)) later.
+        Lets a driver software-pipeline waves: dispatch wave n's generation, then do
+        wave n-1's host work (stage-2 crops) while the device runs."""
         cfg = self.cfg
         B, S = batch.input_ids.shape
         if S + gen.max_new_tokens > self.max_cache_len:
@@ -420,13 +429,20 @@ class Generator:
         tokens, cache = decode(
             self.params, first_logits, cache, jnp.asarray(batch.next_pos), jax.random.key(seed)
         )
-        tokens = np.asarray(tokens)
+        if not block:
+            return tokens, cache
+        out = self.trim_generated(np.asarray(tokens))
+        if return_cache:
+            return out, cache
+        return out
+
+    def trim_generated(self, tokens: np.ndarray):
+        """(B, max_new) raw decode buffer -> per-row lists trimmed at the stop token."""
+        stop_tokens = (self.cfg.tokens.eos, self.cfg.tokens.endoftext)
         out = []
-        for b in range(B):
+        for b in range(tokens.shape[0]):
             row = tokens[b]
             stops = np.isin(row, stop_tokens)
             end = int(np.argmax(stops)) if stops.any() else len(row)
             out.append(row[:end].tolist())
-        if return_cache:
-            return out, cache
         return out
