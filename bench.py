@@ -30,11 +30,15 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))  # decode reads all 3B weights once
-# per step regardless of batch; at ~700 GB/s effective HBM that floor is ~5 ms/step
-# (int8), so batching is the main throughput lever (KV-cache reads grow with batch but
-# stay secondary). Measured r3 sweep: 32 -> 4.36, 48 -> 4.51, 64 -> 4.99 q/s;
-# 80/96 OOM (4.5+ GB cache + int8 params + prefill temps)
+_PIPELINE = os.environ.get("BENCH_PIPELINE", "1") == "1"
+# decode reads all 3B weights once per step regardless of batch; at ~700 GB/s effective
+# HBM that floor is ~5 ms/step (int8), so batching is the main throughput lever
+# (KV-cache reads grow with batch but stay secondary). Measured r3 sweep (non-pipelined):
+# 32 -> 4.36, 48 -> 4.51, 64 -> 4.99 q/s; 80/96 OOM (4.5+ GB cache + int8 params +
+# prefill temps). Pipelined mode (r4, the default) keeps TWO waves' KV caches resident,
+# so 64 OOMs there — the shipping operating point is 48 pipelined (6.6 q/s, measured
+# r4), vs 64 non-pipelined (5.6 q/s): see the frontier table in BASELINE.md.
+BATCH = int(os.environ.get("BENCH_BATCH", "48" if _PIPELINE else "64"))
 STAGE1_NEW = 160
 STAGE2_NEW = 96
 WAVES = int(os.environ.get("BENCH_WAVES", "3"))  # timed waves (after warmup waves)
@@ -357,7 +361,7 @@ def main():
                   file=sys.stderr)
         return list(best)
 
-    pipeline = os.environ.get("BENCH_PIPELINE", "1") == "1"
+    pipeline = _PIPELINE
     if pipeline:
         # Software-pipelined waves: dispatch wave n's stage-1 generation (async),
         # then drain wave n-1 (token readback -> host crops -> KV-reuse gen2) while
@@ -372,6 +376,13 @@ def main():
         for w in range(N):
             prebuilt = next(loader)
             b1 = prebuilt[0]
+            if pending is not None:
+                # start the previous wave's token readback as an ASYNC DMA before
+                # dispatching this wave: through the tunnel even a 30 KB readback
+                # costs ~1.5 s of latency when issued synchronously behind a busy
+                # queue (measured r4); issued here it overlaps the dispatch + host
+                # work and finish_stage2's np.asarray finds it done.
+                pending[1].copy_to_host_async()
             dispatch_t.append(time.time())
             toks_dev, cache = gen.generate(b1, g1, seed=w + 2, block=False)
             if pending is not None:
