@@ -18,11 +18,14 @@ import sys
 import time
 
 CONFIGS = [
-    ("wave-32", {"BENCH_BATCH": "32"}),
-    ("wave-48", {"BENCH_BATCH": "48"}),
-    ("wave-64", {"BENCH_BATCH": "64"}),
-    ("wave-64-kvint8", {"BENCH_BATCH": "64", "BENCH_KV_INT8": "1"}),
-    ("wave-96-kvint8", {"BENCH_BATCH": "96", "BENCH_KV_INT8": "1"}),
+    # latency-optimized: no pipelining, episode latency == its wave's wall time
+    ("wave-32-lat", {"BENCH_BATCH": "32", "BENCH_PIPELINE": "0"}),
+    ("wave-48-lat", {"BENCH_BATCH": "48", "BENCH_PIPELINE": "0"}),
+    ("wave-64-lat", {"BENCH_BATCH": "64", "BENCH_PIPELINE": "0"}),
+    # throughput-optimized: software-pipelined waves (two resident KV caches)
+    ("wave-48-pipelined", {"BENCH_BATCH": "48"}),  # the shipping default
+    ("wave-64-pipelined", {"BENCH_BATCH": "64"}),
+    # production continuous-batching engine (per-episode latencies, slot backfill)
     ("engine-64", {"BENCH_BATCH": "64", "BENCH_MODE": "engine"}),
 ]
 

@@ -98,6 +98,41 @@ def test_continuation_batch_mixed_keep(generator):
         assert out_cont[i] == out_full[0], f"row {i}"
 
 
+def test_continuation_grows_right_sized_cache():
+    """With right_size_cache=True, generate() sizes the stage-1 cache to a bucket
+    (256 here); a continuation
+    whose keep+chunk+new budget exceeds it must grow the cache on device inside the
+    chunk-prefill program and produce tokens identical to a full-size-from-the-start
+    Generator (the zero-extended tail is masked by kv_len, so growth is exact)."""
+    params = init_vlm_params(jax.random.key(0), CFG)
+    g = Generator(params, CFG, max_cache_len=512, cache_dtype="float32",
+                  right_size_cache=True)
+
+    gen1 = GenerationConfig(max_new_tokens=8, temperature=0.0)
+    ids1, imgs1 = _stage1(seed=31)
+    b1 = prepare_batch(CFG, [ids1], [imgs1], length_buckets=(64,), patch_buckets=(16,))
+    out1, cache = g.generate(b1, gen1, return_cache=True)
+    assert cache.k[0].shape[2] == 256  # right-sized: bucket(64 + 8), not max_cache_len
+
+    chunk_ids, chunk_imgs = _vision_chunk((1, 2, 4), seed=32)
+    keep_len = len(ids1) + len(out1[0])
+    start_pos = int(b1.next_pos[0]) + len(out1[0])
+    bc = prepare_continuation(CFG, [chunk_ids], [chunk_imgs], [start_pos],
+                              length_buckets=(16,), patch_buckets=(16,))
+    # budget that overflows the 256-row stage-1 cache -> growth to 512
+    gen2 = GenerationConfig(max_new_tokens=300, temperature=0.0)
+    out_cont, cache2 = g.continue_generate(
+        cache, bc, np.asarray([keep_len]), gen2, seed=0, return_cache=True)
+    assert cache2.k[0].shape[2] == 512
+
+    # oracle: one full prefill over the stitched kept sequence (512-row cache)
+    full_ids = list(ids1) + out1[0] + chunk_ids
+    bf = prepare_batch(CFG, [full_ids], [imgs1 + chunk_imgs],
+                       length_buckets=(128,), patch_buckets=(32,))
+    out_full = g.generate(bf, gen2)
+    assert out_cont == out_full
+
+
 def test_episode_reuse_cache_smoke(monkeypatch):
     """Full episode with reuse_cache=True on the real tiny model (forced bbox path)."""
     from PIL import Image

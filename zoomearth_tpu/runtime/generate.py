@@ -29,6 +29,12 @@ from ..models.vlm import vlm_forward
 from ..ops.sampling import greedy, sample
 
 DEFAULT_LENGTH_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048)
+# KV-cache allocation buckets (multiples of 256 — the flash kernels' kv block).
+# Decode attention reads the FULL allocation every step (masked by kv_len), so a
+# right-sized cache cuts decode HBM traffic: stage 1 of the zoom-QA episode needs
+# ~1024 rows while the episode's final length needs 1536 — allocating 1536 up front
+# made every stage-1 decode step read 1.5x the cache bytes it used (measured r4).
+DEFAULT_CACHE_BUCKETS = (256, 512, 768, 1024, 1280, 1536, 2048, 3072, 4096)
 DEFAULT_PATCH_BUCKETS = (0, 256, 512, 1024, 1600, 2304, 3136, 4096, 6400, 8192, 10368, 12800, 16384, 20736, 24576, 32768, 41472, 49152, 65536, 82944, 98304, 131072)
 
 
@@ -165,11 +171,19 @@ def prepare_continuation(
 class Generator:
     """Compile-cached generation engine over a fixed param tree layout."""
 
-    def __init__(self, params, cfg: VLMConfig, max_cache_len: int = 4096, cache_dtype=None):
+    def __init__(self, params, cfg: VLMConfig, max_cache_len: int = 4096, cache_dtype=None,
+                 right_size_cache: bool = False):
         self.params = params
         self.cfg = cfg
         self.max_cache_len = max_cache_len
         self.cache_dtype = cache_dtype or jnp.dtype(cfg.dtype)
+        # right_size_cache: allocate each generate() call's cache to its own bucketed
+        # need instead of max_cache_len; continue_generate grows it on device. Cuts
+        # stage-1 decode cache reads ~1/3, but the growth transition holds old+new
+        # trees simultaneously (donation can't alias across shapes and measured as NOT
+        # freeing early), which raised PEAK memory and OOM'd the B=48 pipelined wave
+        # bench on v5e — so this is opt-in for capacity-limited non-pipelined use.
+        self.right_size_cache = right_size_cache
         self._prefill_fns = {}
         self._decode_fns = {}
 
@@ -251,8 +265,28 @@ class Generator:
         _, _, tokens_buf, _, cache, _, _ = jax.lax.while_loop(cond, body, state)
         return tokens_buf, cache
 
-    def _chunk_prefill(self, params, ids, chunk_lens, keep_len, pos, pixel_values, meta, cache, *, use_flash=False):
-        """Prefill a continuation chunk into an EXISTING cache truncated to keep_len."""
+    def _chunk_prefill(self, params, ids, chunk_lens, keep_len, pos, pixel_values, meta, cache, *, use_flash=False, grow_to=None):
+        """Prefill a continuation chunk into an EXISTING cache truncated to keep_len.
+
+        grow_to: target cache rows — a stage-1 cache is right-sized (see generate());
+        the continuation zero-extends it ON DEVICE inside this program (an HBM copy at
+        streaming speed, ~7 ms at 3B/B=48 — vs allocating the final size up front,
+        which makes every stage-1 decode step read the unused tail)."""
+        if grow_to is not None and cache.k[0].shape[2] < grow_to:
+            ext = grow_to - cache.k[0].shape[2]
+
+            def g4(a):
+                return jnp.pad(a, ((0, 0), (0, 0), (0, ext), (0, 0)))
+
+            def g3(a):
+                return jnp.pad(a, ((0, 0), (0, 0), (0, ext)))
+
+            cache = cache._replace(
+                k=tuple(g4(a) for a in cache.k),
+                v=tuple(g4(a) for a in cache.v),
+                kscale=tuple(g3(a) for a in cache.kscale) if cache.kscale is not None else None,
+                vscale=tuple(g3(a) for a in cache.vscale) if cache.vscale is not None else None,
+            )
         B, S = ids.shape
         T = cache.k[0].shape[2]
         attn_positions = keep_len[:, None] + jnp.arange(S)[None]
@@ -285,6 +319,7 @@ class Generator:
         seed: int = 0,
         return_cache: bool = False,
         inert_mask: Optional[np.ndarray] = None,
+        block: bool = True,
     ):
         """Continue generation from a prior stage's cache: truncate each row's cache to
         keep_len[b] (dropping e.g. the <answer> tail), prefill only the continuation
@@ -292,7 +327,12 @@ class Generator:
 
         This is the two-stage prefix-reuse optimization: the reference re-runs the
         full stitched prompt through prefill (grpo_trainer.py:611, infer.py:247); here
-        stage 2 prefills ~300 tokens instead of ~1200."""
+        stage 2 prefills ~300 tokens instead of ~1200.
+
+        block=False: dispatch-only — returns (tokens_device, cache) WITHOUT the
+        blocking readback (same contract as generate(block=False)): the caller issues
+        tokens_device.copy_to_host_async() and materializes later, so the post-compute
+        readback round trip rides under other work instead of serializing each wave."""
         cfg = self.cfg
         B, S = batch.input_ids.shape
         stop_tokens = (cfg.tokens.eos, cfg.tokens.endoftext)
@@ -305,11 +345,28 @@ class Generator:
         # KV per layer (~3.6 GB extra HBM traffic per pass at 3B/B=64).
         quant = jnp.dtype(self.cache_dtype) == jnp.int8
         big = B * S * self.max_cache_len > 16 * 768 * 1536
-        key = ("chunk", B, S, n_patches)
+        # target cache rows for this stage: keep + chunk + new tokens, bucketed.
+        # Grown inside the chunk-prefill program (see _chunk_prefill grow_to).
+        T_old = cache.k[0].shape[2]
+        keep_host = keep_len if isinstance(keep_len, np.ndarray) else np.asarray(keep_len)
+        need = int(keep_host.max()) + S + gen.max_new_tokens
+        T2 = T_old
+        if need > T_old:
+            T2 = self.max_cache_len
+            for b in DEFAULT_CACHE_BUCKETS:
+                if need <= b <= self.max_cache_len:
+                    T2 = b
+                    break
+            T2 = max(T2, T_old)
+        key = ("chunk", B, S, n_patches, T_old, T2)
         if key not in self._prefill_fns:
             self._prefill_fns[key] = jax.jit(
-                functools.partial(self._chunk_prefill, use_flash=quant or big),
-                donate_argnums=(7,),
+                functools.partial(self._chunk_prefill, use_flash=quant or big,
+                                  grow_to=T2),
+                # a grown cache changes shape, so the input can't alias the output
+                # (donating anyway emits a per-layer warning; the buffer is freed
+                # after its last use either way)
+                donate_argnums=(7,) if T2 == T_old else (),
             )
         chunk_prefill = self._prefill_fns[key]
         dc_key = (B, gen.max_new_tokens, gen.temperature, gen.top_p, stop_tokens)
@@ -354,6 +411,13 @@ class Generator:
             self.params, first_logits, cache, jnp.asarray(batch.next_pos), jax.random.key(seed),
             done0,
         )
+        if not block:
+            return tokens, cache
+        # register the d2h copy at dispatch time: it fires the moment the decode loop
+        # completes on device. Issuing it only inside np.asarray (i.e. after blocking
+        # on compute) costs a full extra host->device round trip per call on remote
+        # tunnels (measured ~1.5 s on axon for a 30 KB buffer).
+        tokens.copy_to_host_async()
         tokens = np.asarray(tokens)
         if timing:
             import sys
@@ -396,7 +460,17 @@ class Generator:
                 f"max_cache_len ({self.max_cache_len})"
             )
         stop_tokens = (cfg.tokens.eos, cfg.tokens.endoftext)
-        cache = KVCache.create(cfg.text, B, self.max_cache_len, self.cache_dtype)
+        # Optionally right-size the cache to THIS stage's need (bucketed): decode
+        # attention reads the whole allocation each step, and a continuation
+        # (continue_generate) grows the cache on device when the next stage needs more
+        # rows. See __init__ for why this is opt-in.
+        T1 = self.max_cache_len
+        if self.right_size_cache:
+            for b in DEFAULT_CACHE_BUCKETS:
+                if S + gen.max_new_tokens <= b <= self.max_cache_len:
+                    T1 = b
+                    break
+        cache = KVCache.create(cfg.text, B, T1, self.cache_dtype)
 
         n_patches = batch.pixel_values.shape[0] if batch.pixel_values is not None else 0
         big = B * S * self.max_cache_len > 16 * 768 * 1536
@@ -431,6 +505,7 @@ class Generator:
         )
         if not block:
             return tokens, cache
+        tokens.copy_to_host_async()  # see continue_generate: avoids a post-compute RTT
         out = self.trim_generated(np.asarray(tokens))
         if return_cache:
             return out, cache
