@@ -46,6 +46,18 @@ class VisionMetadata:
     seg_full: np.ndarray  # (S,) int32 image id per patch (window order); pad = PAD_SEG
     pos_ids: np.ndarray  # (S, 2) int32 rotary (h, w) ids per patch (window order)
     num_patches: int  # real (unpadded) patch count
+    # Static windowed-attention dispatch (host-derived; see ops.attention):
+    # 2 = every aligned 64-row block is exactly one window (uniform grids, e.g. 512px
+    # crops) -> block-diagonal reshape attention (window_block_attention);
+    # 1 = windows span <= 64 contiguous rows but straddle block edges -> gather into a
+    # per-window dense layout via the plan below (gather_window_attention);
+    # 0 = fall back to the segment flash kernel.
+    win_mode: int = 0
+    # win_mode 1 gather plan (gather_window_attention): source rows, key validity,
+    # scatter-back slots. None unless win_mode == 1.
+    win_gidx: np.ndarray | None = None  # (NW*64,) int32
+    win_valid: np.ndarray | None = None  # (NW, 64) bool
+    win_sidx: np.ndarray | None = None  # (S,) int32
 
 
 def window_index(grid_thw: Sequence[Sequence[int]], cfg: VisionConfig) -> Tuple[np.ndarray, np.ndarray]:
@@ -139,6 +151,34 @@ def _vision_metadata_cached(key) -> VisionMetadata:
             [inv_perm_merged, np.arange(n_merged, pad_to // m2)]
         )
 
+    # windowed-attention mode (static, drives which attention program compiles):
+    # window_index emits each window as a contiguous ascending run, so a segment's
+    # span equals its patch count; the pad tail is one long PAD_SEG run whose output
+    # rows are dropped downstream (locality there is irrelevant).
+    win_mode = 0
+    win_gidx = win_valid = win_sidx = None
+    S_total = len(seg_window)
+    from ..ops.attention import LOCAL_BLOCK
+
+    if S_total % LOCAL_BLOCK == 0 and S_total > 0:
+        blocks = seg_window.reshape(-1, LOCAL_BLOCK)
+        first = blocks[:, 0]
+        # uniform: each aligned block holds exactly one segment AND no segment spans
+        # two blocks (adjacent equal ids are only allowed for the PAD tail — a whole-
+        # image segment, e.g. the window-free Qwen2-VL family, is NOT uniform)
+        uniform = bool(np.all(blocks == blocks[:, :1])) and bool(
+            np.all((first[1:] != first[:-1]) | (first[1:] == PAD_SEG))
+        )
+        if uniform:
+            win_mode = 2
+        else:
+            real = seg_window[seg_window != PAD_SEG]
+            if real.size and np.bincount(real - real.min()).max() <= LOCAL_BLOCK:
+                plan = _window_gather_plan(seg_window, LOCAL_BLOCK)
+                if plan is not None:
+                    win_mode = 1
+                    win_gidx, win_valid, win_sidx = plan
+
     return VisionMetadata(
         perm=perm.astype(np.int32),
         inv_perm_merged=inv_perm_merged.astype(np.int32),
@@ -146,7 +186,38 @@ def _vision_metadata_cached(key) -> VisionMetadata:
         seg_full=seg_full.astype(np.int32),
         pos_ids=pos.astype(np.int32),
         num_patches=n_patches,
+        win_mode=win_mode,
+        win_gidx=win_gidx,
+        win_valid=win_valid,
+        win_sidx=win_sidx,
     )
+
+
+def _window_gather_plan(seg: np.ndarray, lmax: int):
+    """Gather plan for gather_window_attention: split the contiguous ascending runs of
+    `seg` into pseudo-windows of <= lmax rows (only the PAD tail run can exceed lmax —
+    splitting it is safe because pad outputs are dropped), then emit (gidx, valid, sidx).
+    Returns None when the padded layout would more than double the row count (degenerate
+    many-tiny-window batches stay on the flash kernel)."""
+    S = len(seg)
+    bounds = np.flatnonzero(np.diff(seg)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [S]])
+    pieces = []
+    for st, en in zip(starts, ends):
+        for off in range(int(st), int(en), lmax):
+            pieces.append((off, min(lmax, int(en) - off)))
+    nw = len(pieces)
+    if nw * lmax > 2 * S:
+        return None
+    gidx = np.zeros((nw, lmax), np.int32)
+    valid = np.zeros((nw, lmax), bool)
+    sidx = np.zeros((S,), np.int32)
+    for w, (st, ln) in enumerate(pieces):
+        gidx[w, :ln] = np.arange(st, st + ln)
+        valid[w, :ln] = True
+        sidx[st : st + ln] = w * lmax + np.arange(ln)
+    return gidx.reshape(-1), valid, sidx
 
 
 def rms_norm(x, scale, eps):
@@ -184,7 +255,7 @@ def _vit_mlp(p, cfg: VisionConfig, h):
     return (g * u) @ p["wd"] + p["bd"]
 
 
-def _vit_block(params, cfg: VisionConfig, x, seg, cos, sin):
+def _vit_block(params, cfg: VisionConfig, x, seg, cos, sin, attn_fn=segment_attention_auto):
     """One ViT block: norm -> segment attention (2D RoPE) -> norm -> MLP.
 
     Norm/MLP flavor per cfg (Qwen2.5-VL: RMSNorm+SwiGLU; Qwen2-VL: LayerNorm+GELU fc)."""
@@ -195,7 +266,7 @@ def _vit_block(params, cfg: VisionConfig, x, seg, cos, sin):
     q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
-    attn = segment_attention_auto(q, k, v, seg)
+    attn = attn_fn(q, k, v, seg)
     attn = attn.reshape(S, cfg.hidden_size) @ params["attn"]["wo"] + params["attn"]["bo"]
     x = x + attn
     h = _vit_norm(params["norm2"], cfg, x)
@@ -212,6 +283,8 @@ def vit_forward(
     seg_window: jnp.ndarray,  # (S,)
     seg_full: jnp.ndarray,  # (S,)
     pos_ids: jnp.ndarray,  # (S, 2)
+    win_mode: int = 0,  # STATIC VisionMetadata.win_mode (windowed-attention dispatch)
+    win_plan=None,  # (win_gidx, win_valid, win_sidx) device arrays; required iff win_mode == 1
 ) -> jnp.ndarray:
     """Packed ViT forward -> (S_real/m², out_hidden_size) merged vision embeddings
     in original image order.
@@ -235,9 +308,23 @@ def vit_forward(
     x = pixel_values.astype(params["patch_embed"]["kernel"].dtype) @ params["patch_embed"]["kernel"]
     x = jnp.take(x, perm, axis=0)  # into window order
     cos, sin = vision_rope_cos_sin(pos_ids, cfg.head_dim)
+    if win_mode == 2:
+        from ..ops.attention import window_block_attention
+
+        win_attn = lambda q, k, v, seg: window_block_attention(q, k, v)
+    elif win_mode == 1:
+        from ..ops.attention import gather_window_attention
+
+        gp, vp, sp = win_plan
+        win_attn = lambda q, k, v, seg: gather_window_attention(q, k, v, gp, vp, sp)
+    else:
+        win_attn = segment_attention_auto
     for i in range(cfg.depth):
-        seg = seg_full if i in cfg.fullatt_block_indexes else seg_window
-        x = _vit_block(params["blocks"][i], cfg, x, seg, cos, sin)
+        if i in cfg.fullatt_block_indexes:
+            seg, attn_fn = seg_full, segment_attention_auto
+        else:
+            seg, attn_fn = seg_window, win_attn
+        x = _vit_block(params["blocks"][i], cfg, x, seg, cos, sin, attn_fn)
     # Patch merger: norm then merge each group of merge_unit consecutive patches
     # (consecutive in window order — matches HF), then 2-layer MLP.
     x = _vit_norm(params["merger"]["ln_q"], cfg, x)

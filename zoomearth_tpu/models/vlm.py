@@ -59,6 +59,7 @@ def vlm_forward(
     use_flash: bool = False,
     write_pos: Optional[jnp.ndarray] = None,
     vision_embeds: Optional[jnp.ndarray] = None,
+    win_mode: int = 0,  # STATIC VisionMetadata.win_mode (ViT windowed-attention path)
 ):
     """Full forward -> (logits float32, new_cache).
 
@@ -83,6 +84,8 @@ def vlm_forward(
             vision_meta["seg_window"],
             vision_meta["seg_full"],
             vision_meta["pos_ids"],
+            win_mode=win_mode,
+            win_plan=_win_plan(vision_meta),
         )
     if vision_embeds is not None:
         is_image = input_ids == cfg.tokens.image_pad
@@ -122,23 +125,36 @@ def masked_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int =
     return loss, valid.sum()
 
 
-def compute_vision_embeds(params, cfg: VLMConfig, pixel_values, vision_meta):
+def _win_plan(vision_meta: dict):
+    """Extract the win_mode-1 gather plan from a device meta dict (None if absent)."""
+    if "win_gidx" in vision_meta:
+        return (vision_meta["win_gidx"], vision_meta["win_valid"], vision_meta["win_sidx"])
+    return None
+
+
+def compute_vision_embeds(params, cfg: VLMConfig, pixel_values, vision_meta, win_mode: int = 0):
     """Run just the vision tower: packed patches -> (N_merged, E) merged embeddings in
-    image order. Jit this separately (keyed by the patch bucket) so prompt-shape
-    variants share one compiled ViT."""
+    image order. Jit this separately (keyed by the patch bucket AND win_mode) so
+    prompt-shape variants share one compiled ViT."""
     return vit_forward(
         params["vision"], cfg.vision, pixel_values,
         vision_meta["perm"], vision_meta["inv_perm_merged"],
         vision_meta["seg_window"], vision_meta["seg_full"], vision_meta["pos_ids"],
+        win_mode=win_mode, win_plan=_win_plan(vision_meta),
     )
 
 
 def vision_meta_to_device(meta) -> dict:
     """VisionMetadata (numpy) -> dict of device arrays for vlm_forward."""
-    return {
+    out = {
         "perm": jnp.asarray(meta.perm),
         "inv_perm_merged": jnp.asarray(meta.inv_perm_merged),
         "seg_window": jnp.asarray(meta.seg_window),
         "seg_full": jnp.asarray(meta.seg_full),
         "pos_ids": jnp.asarray(meta.pos_ids),
     }
+    if meta.win_gidx is not None:
+        out["win_gidx"] = jnp.asarray(meta.win_gidx)
+        out["win_valid"] = jnp.asarray(meta.win_valid)
+        out["win_sidx"] = jnp.asarray(meta.win_sidx)
+    return out

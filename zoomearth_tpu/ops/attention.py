@@ -65,6 +65,64 @@ def segment_attention(q, k, v, segment_ids, scale=None):
     return _sdpa(q, k, v, mask, scale)
 
 
+LOCAL_BLOCK = 64  # ViT window span in patches (112px window / 14px patch = 8x8)
+
+
+def window_block_attention(q, k, v, scale=None):
+    """ViT windowed attention for UNIFORM ALIGNED windows: every aligned LOCAL_BLOCK-row
+    block IS exactly one window (512px crops: 32x32 grid -> all windows full), so
+    attention is block-diagonal by construction — pure reshape, no gather, no mask.
+
+    q/k/v (S, H, D) with S % LOCAL_BLOCK == 0. Pad-tail blocks self-attend; their
+    outputs are garbage and dropped by the caller (same contract as segment_attention).
+    Measured vs the flash segment kernel at S=49152 on v5e: ~5% faster end-to-end and
+    it skips the kernel wrapper's (H, S, 128) transpose/pad copies entirely
+    (scripts/probe_vit_winattn.py)."""
+    S, H, D = q.shape
+    blk = LOCAL_BLOCK
+    nb = S // blk
+    if scale is None:
+        scale = D**-0.5
+    qb = q.reshape(nb, blk, H, D)
+    kb = k.reshape(nb, blk, H, D)
+    vb = v.reshape(nb, blk, H, D)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qb, kb).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), vb)
+    return out.reshape(S, H, D)
+
+
+def gather_window_attention(q, k, v, gidx, valid, sidx, scale=None):
+    """ViT windowed attention via a host-precomputed gather plan (VisionMetadata
+    win_gidx/win_valid/win_sidx — models/vit.py _window_gather_plan): rows are gathered
+    into a (NW, L) per-window layout, attended dense block-diagonal, and scattered back.
+
+    Handles ANY contiguous-segment layout with spans <= L (the general resized-image
+    case where windows straddle 64-row block edges). Measured on v5e at S=62208: 11.5 ms
+    vs the flash segment kernel's 13.1 (isolated) and 27.3 vs 33.5 ms per full ViT block
+    (in-model, scripts/probe_vit_block.py) — the flash kernel's (H, n_q) grid is
+    per-program-overhead-bound at 64-row windows, while the gathers are cheap
+    (~0.5 GB HBM traffic) and the batched (L, L) matmuls pipeline on the MXU.
+
+    gidx: (NW*L,) int32 source row per gathered slot (pad slots point anywhere);
+    valid: (NW, L) bool, False for pad slots (masked out as keys);
+    sidx: (S,) int32 gathered-slot index of each original row.
+    Plain XLA (differentiable, all backends); numerics mirror segment_attention
+    (fp32 softmax; invalid-key logits at NEG_INF)."""
+    S, H, D = q.shape
+    NW, L = valid.shape
+    if scale is None:
+        scale = D**-0.5
+    qg = jnp.take(q, gidx, axis=0).reshape(NW, L, H, D)
+    kg = jnp.take(k, gidx, axis=0).reshape(NW, L, H, D)
+    vg = jnp.take(v, gidx, axis=0).reshape(NW, L, H, D)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qg, kg).astype(jnp.float32) * scale
+    logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), vg)
+    return jnp.take(out.reshape(NW * L, H, D), sidx, axis=0)
+
+
 def _gqa_sdpa(q, k, v, mask, scale):
     """Grouped-query attention WITHOUT materializing repeated kv heads (a jnp.repeat
     here would re-read Hq/Hkv times the cache bytes per decode step — the decode loop's

@@ -108,14 +108,26 @@ def prepare_batch(
         if P > pv.shape[0]:
             pv = np.concatenate([pv, np.zeros((P - pv.shape[0], pv.shape[1]), pv.dtype)])
         pixel_values = pv
-        meta_dev = {
-            "perm": meta.perm,
-            "inv_perm_merged": meta.inv_perm_merged,
-            "seg_window": meta.seg_window,
-            "seg_full": meta.seg_full,
-            "pos_ids": meta.pos_ids,
-        }
+        meta_dev = _meta_dict(meta)
     return PreparedBatch(ids, lengths, pos, next_pos, pixel_values, meta_dev)
+
+
+def _meta_dict(meta) -> dict:
+    """VisionMetadata -> host meta dict for PreparedBatch (numpy arrays; uploaded by
+    the Generator). win_mode is a plain STATIC int — consumers pop it before jit."""
+    d = {
+        "perm": meta.perm,
+        "inv_perm_merged": meta.inv_perm_merged,
+        "seg_window": meta.seg_window,
+        "seg_full": meta.seg_full,
+        "pos_ids": meta.pos_ids,
+        "win_mode": meta.win_mode,
+    }
+    if meta.win_gidx is not None:
+        d["win_gidx"] = meta.win_gidx
+        d["win_valid"] = meta.win_valid
+        d["win_sidx"] = meta.win_sidx
+    return d
 
 
 def prepare_continuation(
@@ -160,11 +172,7 @@ def prepare_continuation(
         if P > pv.shape[0]:
             pv = np.concatenate([pv, np.zeros((P - pv.shape[0], pv.shape[1]), pv.dtype)])
         pixel_values = pv
-        meta_dev = {
-            "perm": meta.perm, "inv_perm_merged": meta.inv_perm_merged,
-            "seg_window": meta.seg_window, "seg_full": meta.seg_full,
-            "pos_ids": meta.pos_ids,
-        }
+        meta_dev = _meta_dict(meta)
     return PreparedBatch(ids, lengths, pos, next_pos, pixel_values, meta_dev)
 
 
@@ -189,7 +197,7 @@ class Generator:
 
     # -- jitted stages ------------------------------------------------------
 
-    def _prefill(self, params, ids, lengths, pos, pixel_values, meta, cache, *, use_flash=False):
+    def _prefill(self, params, ids, lengths, pos, pixel_values, meta, cache, *, use_flash=False, win_mode=0):
         """Prefill the cache; returns (last-token logits (B, V), cache).
 
         pixel_values with meta=None means PRECOMPUTED vision embeddings (N_tokens, E)
@@ -214,6 +222,7 @@ class Generator:
             update_cache_len=False,
             logit_index=lengths - 1,
             use_flash=use_flash,
+            win_mode=win_mode,
             **vis_kw,
         )
         cache = cache._replace(length=lengths)
@@ -265,7 +274,7 @@ class Generator:
         _, _, tokens_buf, _, cache, _, _ = jax.lax.while_loop(cond, body, state)
         return tokens_buf, cache
 
-    def _chunk_prefill(self, params, ids, chunk_lens, keep_len, pos, pixel_values, meta, cache, *, use_flash=False, grow_to=None):
+    def _chunk_prefill(self, params, ids, chunk_lens, keep_len, pos, pixel_values, meta, cache, *, use_flash=False, grow_to=None, win_mode=0):
         """Prefill a continuation chunk into an EXISTING cache truncated to keep_len.
 
         grow_to: target cache rows — a stage-1 cache is right-sized (see generate());
@@ -305,7 +314,7 @@ class Generator:
             attn_positions=attn_positions, attn_valid=attn_valid,
             cache=cache, update_cache_len=False, logit_index=chunk_lens - 1,
             write_pos=write_pos, **vis_kw,
-            use_flash=use_flash,
+            use_flash=use_flash, win_mode=win_mode,
         )
         return logits, cache._replace(length=keep_len + chunk_lens)
 
@@ -358,11 +367,12 @@ class Generator:
                     T2 = b
                     break
             T2 = max(T2, T_old)
-        key = ("chunk", B, S, n_patches, T_old, T2)
+        win_mode = int(batch.vision_meta.get("win_mode", 0)) if batch.vision_meta else 0
+        key = ("chunk", B, S, n_patches, T_old, T2, win_mode)
         if key not in self._prefill_fns:
             self._prefill_fns[key] = jax.jit(
                 functools.partial(self._chunk_prefill, use_flash=quant or big,
-                                  grow_to=T2),
+                                  grow_to=T2, win_mode=win_mode),
                 # a grown cache changes shape, so the input can't alias the output
                 # (donating anyway emits a per-layer warning; the buffer is freed
                 # after its last use either way)
@@ -388,7 +398,7 @@ class Generator:
         t0 = time.time()
         meta = None
         if batch.vision_meta is not None:
-            meta = {k: jnp.asarray(v) for k, v in batch.vision_meta.items()}
+            meta = {k: jnp.asarray(v) for k, v in batch.vision_meta.items() if k != "win_mode"}
         pv = jnp.asarray(batch.pixel_values) if batch.pixel_values is not None else None
         ids_d = jnp.asarray(batch.input_ids)
         lens_d = jnp.asarray(batch.lengths)
@@ -474,9 +484,12 @@ class Generator:
 
         n_patches = batch.pixel_values.shape[0] if batch.pixel_values is not None else 0
         big = B * S * self.max_cache_len > 16 * 768 * 1536
-        pf_key = (B, S, n_patches)
+        win_mode = int(batch.vision_meta.get("win_mode", 0)) if batch.vision_meta else 0
+        pf_key = (B, S, n_patches, T1, win_mode)
         if pf_key not in self._prefill_fns:
-            self._prefill_fns[pf_key] = jax.jit(functools.partial(self._prefill, use_flash=big))
+            self._prefill_fns[pf_key] = jax.jit(
+                functools.partial(self._prefill, use_flash=big, win_mode=win_mode)
+            )
         prefill = self._prefill_fns[pf_key]
 
         dc_key = (B, gen.max_new_tokens, gen.temperature, gen.top_p, stop_tokens)
@@ -494,7 +507,7 @@ class Generator:
 
         meta = None
         if batch.vision_meta is not None:
-            meta = {k: jnp.asarray(v) for k, v in batch.vision_meta.items()}
+            meta = {k: jnp.asarray(v) for k, v in batch.vision_meta.items() if k != "win_mode"}
         pv = jnp.asarray(batch.pixel_values) if batch.pixel_values is not None else None
         first_logits, cache = prefill(
             self.params, jnp.asarray(batch.input_ids), jnp.asarray(batch.lengths),

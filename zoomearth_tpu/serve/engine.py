@@ -225,7 +225,10 @@ class ServingEngine:
         # ViT compiled separately (keyed by patch bucket via jit shape caching) so every
         # prompt-shape variant of the pool prefill shares one compiled vision tower
         self._vit_fn = jax.jit(
-            lambda params, pv, meta: compute_vision_embeds(params, self.cfg, pv, meta)
+            lambda params, pv, meta, win_mode=0: compute_vision_embeds(
+                params, self.cfg, pv, meta, win_mode=win_mode
+            ),
+            static_argnums=(3,),
         )
         self._pump_thread: Optional[threading.Thread] = None
         self._running = False
@@ -497,9 +500,15 @@ class ServingEngine:
             if progress:
                 progress(f"vit[{npatch}]")
             pv = jnp.zeros((npatch, cfg.vision.patch_dim), pixel_dtype)
-            meta = vision_metadata([(1, 4, npatch // 4)], cfg.vision, pad_to=npatch)
-            meta_dev = vision_meta_to_device(meta)
-            jax.block_until_ready(self._vit_fn(self.params, pv, meta_dev))
+            # cover both windowed-attention programs: (1, 4, n/4) has edge windows
+            # (win_mode 1, typical resized stage-1 images); (1, 16, n/16) is uniform
+            # (win_mode 2, exact-512px crops) — llm grid 8 x n/32, both % 4 == 0
+            for grid in ((1, 4, npatch // 4), (1, 16, npatch // 16)):
+                meta = vision_metadata([grid], cfg.vision, pad_to=npatch)
+                meta_dev = vision_meta_to_device(meta)
+                jax.block_until_ready(
+                    self._vit_fn(self.params, pv, meta_dev, meta.win_mode)
+                )
         for RB in widths:
             for S in lens:
                 for npatch in patches:
@@ -853,7 +862,7 @@ class ServingEngine:
             meta_dev = vision_meta_to_device(meta)
             # ViT runs as its own program (one compile per patch bucket, shared by all
             # prompt-shape variants of the pool prefill)
-            vision_embeds = self._vit_fn(self.params, jnp.asarray(pv), meta_dev)
+            vision_embeds = self._vit_fn(self.params, jnp.asarray(pv), meta_dev, meta.win_mode)
             n_emb = vision_embeds.shape[0]
             self._phase_s["prefill_vit_dispatch"] += time.time() - t_vit
 
