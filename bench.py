@@ -195,7 +195,10 @@ def main():
     # int8 cache dot through a materialized bf16 convert instead of streaming int8).
     # Default stays bf16; int8 KV remains the documented long-context/capacity option.
     cache_dtype = jnp.int8 if os.environ.get("BENCH_KV_INT8") == "1" else jnp.bfloat16
-    gen = Generator(params, cfg, max_cache_len=1536, cache_dtype=cache_dtype)
+    # batch >= 96: split the gen1 prefill into 48-row slices (bounded activation
+    # transients — Generator.prefill_split_rows) or the program peak OOMs v5e
+    gen = Generator(params, cfg, max_cache_len=1536, cache_dtype=cache_dtype,
+                    prefill_split_rows=48 if BATCH >= 96 else 0)
     tiles = [TileImage(synthetic_tile(i)) for i in range(BATCH)]
     rng = np.random.default_rng(0)
 
@@ -222,13 +225,26 @@ def main():
     from zoomearth_tpu.models.vlm import compute_vision_embeds, vision_meta_to_device
     from zoomearth_tpu.models.vit import vision_metadata
 
+    _vit_fns = {}
+
+    def run_vit(pv_dev, grids, pad_to):
+        """Jitted standalone ViT (keyed by patch bucket + win_mode): one compiled
+        tower shared by every prompt/chunk shape, and its activation transients
+        (gathered qkv, window logits) never coexist with the LLM prefill's — at
+        batch >= 96 the combined peak OOMs (probe_mem96)."""
+        meta = vision_metadata(grids, cfg.vision, pad_to=pad_to)
+        meta_dev = vision_meta_to_device(meta)
+        key = (pad_to, meta.win_mode)
+        if key not in _vit_fns:
+            _vit_fns[key] = jax.jit(
+                lambda p, x, m, wm=meta.win_mode: compute_vision_embeds(p, cfg, x, m, win_mode=wm)
+            )
+        return _vit_fns[key](params, pv_dev, meta_dev)
+
     def _embed_tiles():
         pv = np.concatenate([p for p, _ in stage1_prepped], axis=0)
         grids = [g for _, g in stage1_prepped]
-        meta = vision_metadata(grids, cfg.vision, pad_to=pv.shape[0])
-        meta_dev = vision_meta_to_device(meta)
-        fn = jax.jit(lambda p, x, m: compute_vision_embeds(p, cfg, x, m))
-        return fn(params, jnp.asarray(pv), meta_dev)
+        return run_vit(jnp.asarray(pv), grids, pv.shape[0])
 
     stage1_embeds = _embed_tiles()  # (sum merged tokens, E) in tile order
 
@@ -291,7 +307,11 @@ def main():
         parts = dev_pvs + (
             [jnp.zeros((n_pad, dev_pvs[0].shape[1]), dev_pvs[0].dtype)] if n_pad else []
         )
-        bc = dataclasses.replace(bc, pixel_values=jnp.concatenate(parts, axis=0))
+        pv_dev = jnp.concatenate(parts, axis=0)
+        # crop ViT runs as its OWN program (engine pattern): its transients don't
+        # stack on the chunk-prefill's, and the tower compiles once per patch bucket
+        embeds2 = run_vit(pv_dev, [imgs[0][1] for imgs in chunk_imgs], pv_dev.shape[0])
+        bc = dataclasses.replace(bc, pixel_values=embeds2, vision_meta=None)
         return bc, np.asarray(keep, np.int32)
 
     g1 = GenerationConfig(max_new_tokens=STAGE1_NEW, temperature=0.01)

@@ -22,9 +22,14 @@ CONFIGS = [
     ("wave-32-lat", {"BENCH_BATCH": "32", "BENCH_PIPELINE": "0"}),
     ("wave-48-lat", {"BENCH_BATCH": "48", "BENCH_PIPELINE": "0"}),
     ("wave-64-lat", {"BENCH_BATCH": "64", "BENCH_PIPELINE": "0"}),
+    # big batches: weights amortize (decode floor 4.2 ms/step is batch-independent);
+    # right-sized per-stage caches (r4) shrink the footprint that OOM'd 96 in r3
+    ("wave-96-lat", {"BENCH_BATCH": "96", "BENCH_PIPELINE": "0"}),
+    ("wave-128-lat", {"BENCH_BATCH": "128", "BENCH_PIPELINE": "0"}),
     # throughput-optimized: software-pipelined waves (two resident KV caches)
     ("wave-48-pipelined", {"BENCH_BATCH": "48"}),  # the shipping default
     ("wave-64-pipelined", {"BENCH_BATCH": "64"}),
+    ("wave-96-pipelined", {"BENCH_BATCH": "96"}),
     # production continuous-batching engine (per-episode latencies, slot backfill)
     ("engine-64", {"BENCH_BATCH": "64", "BENCH_MODE": "engine"}),
 ]

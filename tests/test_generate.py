@@ -165,3 +165,39 @@ def test_fake_tokenizer_roundtrip():
     ids = tk.encode(text)
     assert tk.decode(ids, skip_special_tokens=False) == text
     assert tk.decode(ids) == "hello  world"
+
+
+def test_split_row_prefill_matches_full(hf_model):
+    """prefill_split_rows (embeds path, batch >= 96 capacity lever): slicing the
+    prefill into row halves writing one donated full cache must produce tokens
+    identical to the one-shot prefill."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from zoomearth_tpu.models.vit import vision_metadata
+    from zoomearth_tpu.models.vlm import compute_vision_embeds, vision_meta_to_device
+
+    params = P.convert_hf_state_dict(hf_model.state_dict(), CFG, dtype="float32")
+    g_full = Generator(params, CFG, max_cache_len=256, cache_dtype="float32")
+    g_split = Generator(params, CFG, max_cache_len=256, cache_dtype="float32",
+                        prefill_split_rows=2)
+    seqs, pvs, grids = [], [], []
+    for seed in (1, 2, 3, 4):
+        ids, pv, grid = _image_seq((1, 4, 4), seed=seed)
+        seqs.append(ids + [7] * seed)  # varied lengths
+        pvs.append(pv)
+        grids.append(grid)
+    batch = prepare_batch(CFG, seqs, [[(pv, g)] for pv, g in zip(pvs, grids)],
+                          length_buckets=(64,), patch_buckets=(64,))
+    # precompute the vision embeds (the split path requires the embeds input form)
+    meta = vision_metadata(grids, CFG.vision, pad_to=batch.pixel_values.shape[0])
+    embeds = compute_vision_embeds(
+        params, CFG, jnp.asarray(batch.pixel_values), vision_meta_to_device(meta),
+        win_mode=meta.win_mode,
+    )
+    batch = dataclasses.replace(batch, pixel_values=embeds, vision_meta=None)
+    out_full = g_full.generate(batch, GenerationConfig(max_new_tokens=10))
+    out_split = g_split.generate(batch, GenerationConfig(max_new_tokens=10))
+    assert out_split == out_full

@@ -191,3 +191,39 @@ def test_concurrent_requests(server):
         t.join(timeout=120)
     assert len(results) == 4
     assert all(status == 200 for status, _ in results.values())
+
+
+def test_streaming_sse(server):
+    """`"stream": true` -> SSE chat.completion.chunk events whose deltas concatenate
+    to the non-streaming answer for the same prompt, ending with a finish_reason
+    chunk and `data: [DONE]`."""
+    prompt = {"messages": [{"role": "user", "content": "Stream me"}],
+              "max_tokens": 6, "temperature": 0.0}
+    _, ref = _post(server, "/v1/chat/completions", prompt)
+    ref_content = ref["choices"][0]["message"]["content"]
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=120)
+    conn.request("POST", "/v1/chat/completions",
+                 json.dumps({**prompt, "stream": True}),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "text/event-stream"
+    raw = resp.read().decode()  # Connection: close — read to EOF
+    conn.close()
+    events = [l[len("data: "):] for l in raw.split("\n\n") if l.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+    assert chunks[0]["choices"][0]["delta"] == {"role": "assistant"}
+    finish = chunks[-1]["choices"][0]["finish_reason"]
+    assert finish in ("stop", "length")
+    content = "".join(c["choices"][0]["delta"].get("content", "") for c in chunks)
+    assert content.strip() == ref_content
+    # incremental: a full-length 6-token answer must arrive over several chunks
+    # (prefill first token + decode_chunk=2 batches), not as one blob
+    n_content = sum(1 for c in chunks if c["choices"][0]["delta"].get("content"))
+    if finish == "length":
+        assert n_content >= 2
+    elif ref_content:
+        assert n_content >= 1

@@ -180,7 +180,7 @@ class Generator:
     """Compile-cached generation engine over a fixed param tree layout."""
 
     def __init__(self, params, cfg: VLMConfig, max_cache_len: int = 4096, cache_dtype=None,
-                 right_size_cache: bool = False):
+                 right_size_cache: bool = False, prefill_split_rows: int = 0):
         self.params = params
         self.cfg = cfg
         self.max_cache_len = max_cache_len
@@ -192,6 +192,10 @@ class Generator:
         # freeing early), which raised PEAK memory and OOM'd the B=48 pipelined wave
         # bench on v5e — so this is opt-in for capacity-limited non-pipelined use.
         self.right_size_cache = right_size_cache
+        # prefill_split_rows: run generate()'s prefill in row slices of this size when
+        # B exceeds it (precomputed-embeds batches only). Bounds the prefill's
+        # activation transients — see _prefill_rows — enabling batch >= 96 on v5e.
+        self.prefill_split_rows = prefill_split_rows
         self._prefill_fns = {}
         self._decode_fns = {}
 
@@ -227,6 +231,43 @@ class Generator:
         )
         cache = cache._replace(length=lengths)
         return last, cache
+
+    def _prefill_rows(self, params, ids, lengths, pos, vision_embeds, cache_full, row_off, *, use_flash=False):
+        """Prefill a ROW SLICE [row_off, row_off+R) of a full-batch cache (embeds path
+        only). Runs the decoder on R rows into a temp cache, then writes it into the
+        donated full cache at the row offset. Splitting the prefill bounds activation
+        transients — the fused gate|up output alone is B·S·2F bf16 (3.2 GB at
+        B=96/S=768), which stacked on weights + the full cache OOMs v5e (probe_mem96);
+        two half-batch passes reuse one compiled program and halve that peak."""
+        R, S = ids.shape
+        T = cache_full.k[0].shape[2]
+        attn_positions = jnp.broadcast_to(jnp.arange(S)[None], (R, S))
+        attn_valid = attn_positions < lengths[:, None]
+        tmp = KVCache.create(self.cfg.text, R, T, self.cache_dtype)
+        last, tmp = vlm_forward(
+            params, self.cfg, ids, pos,
+            attn_positions=attn_positions, attn_valid=attn_valid,
+            cache=tmp, update_cache_len=False, logit_index=lengths - 1,
+            use_flash=use_flash, vision_embeds=vision_embeds,
+        )
+        z = jnp.zeros((), jnp.int32)
+
+        def put4(full, part):
+            return jax.lax.dynamic_update_slice(full, part, (row_off, z, z, z))
+
+        def put3(full, part):
+            return jax.lax.dynamic_update_slice(full, part, (row_off, z, z))
+
+        cache_full = cache_full._replace(
+            k=tuple(put4(f, p) for f, p in zip(cache_full.k, tmp.k)),
+            v=tuple(put4(f, p) for f, p in zip(cache_full.v, tmp.v)),
+            kscale=tuple(put3(f, p) for f, p in zip(cache_full.kscale, tmp.kscale))
+            if cache_full.kscale is not None else None,
+            vscale=tuple(put3(f, p) for f, p in zip(cache_full.vscale, tmp.vscale))
+            if cache_full.vscale is not None else None,
+            length=jax.lax.dynamic_update_slice(cache_full.length, lengths, (row_off,)),
+        )
+        return last, cache_full
 
     def _decode_loop(self, params, first_logits, cache, next_pos, key, done0=None, *, max_new, temperature, top_p, stop_tokens):
         """While-loop decode. Returns tokens (B, max_new) padded with pad id after stop.
@@ -509,10 +550,38 @@ class Generator:
         if batch.vision_meta is not None:
             meta = {k: jnp.asarray(v) for k, v in batch.vision_meta.items() if k != "win_mode"}
         pv = jnp.asarray(batch.pixel_values) if batch.pixel_values is not None else None
-        first_logits, cache = prefill(
-            self.params, jnp.asarray(batch.input_ids), jnp.asarray(batch.lengths),
-            jnp.asarray(batch.position_ids), pv, meta, cache,
-        )
+        R = self.prefill_split_rows
+        if R and B > R and B % R == 0 and meta is None and pv is not None:
+            # split-row prefill (embeds path): R-row slices into the donated full cache
+            rkey = ("rowpf", R, S, T1)
+            if rkey not in self._prefill_fns:
+                big_r = R * S * self.max_cache_len > 16 * 768 * 1536
+                self._prefill_fns[rkey] = jax.jit(
+                    functools.partial(self._prefill_rows, use_flash=big_r),
+                    donate_argnums=(5,),
+                )
+            rowpf = self._prefill_fns[rkey]
+            ids_np = np.asarray(batch.input_ids)
+            n_img = (ids_np == cfg.tokens.image_pad).sum(axis=1)
+            offs = np.concatenate([[0], np.cumsum(n_img)])
+            ids_d = jnp.asarray(batch.input_ids)
+            lens_d = jnp.asarray(batch.lengths)
+            pos_d = jnp.asarray(batch.position_ids)
+            parts = []
+            for h in range(B // R):
+                sl = slice(h * R, (h + 1) * R)
+                lg, cache = rowpf(
+                    self.params, ids_d[sl], lens_d[sl], pos_d[:, sl],
+                    pv[int(offs[h * R]) : int(offs[(h + 1) * R])],
+                    cache, jnp.int32(h * R),
+                )
+                parts.append(lg)
+            first_logits = jnp.concatenate(parts, axis=0)
+        else:
+            first_logits, cache = prefill(
+                self.params, jnp.asarray(batch.input_ids), jnp.asarray(batch.lengths),
+                jnp.asarray(batch.position_ids), pv, meta, cache,
+            )
         tokens, cache = decode(
             self.params, first_logits, cache, jnp.asarray(batch.next_pos), jax.random.key(seed)
         )

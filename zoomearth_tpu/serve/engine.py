@@ -237,6 +237,12 @@ class ServingEngine:
         # one blocked get_completion() thread per request (on a 1-core host, N
         # collector threads doing PIL work starve the scheduler via the GIL).
         self.on_completion: Optional[Callable[[Completion], None]] = None
+        # Optional incremental-token hook (pump thread, once per decode chunk per live
+        # row, and once for the prefill's first token): on_tokens(request_id, new_toks).
+        # Tokens already exclude the stop token (mirrors Completion.token_ids). Keep it
+        # O(1) (queue.put) — it runs inside the scheduler tick. Powers SSE streaming
+        # on the OpenAI endpoint (serve/server.py).
+        self.on_tokens: Optional[Callable[[str, List[int]], None]] = None
         self.stats = {"completed": 0, "decode_steps": 0, "prefills": 0,
                       "prefill_rows": 0, "prefix_hits": 0, "prefix_saves": 0}
         # wall-clock phase accounting (host thread time, includes device wait):
@@ -926,6 +932,8 @@ class ServingEngine:
             slot.prompt_len = r.prompt_len
             slot.prompt_next_pos = int(new_next[j])
             self.active[b] = True
+            if self.on_tokens is not None and t not in self._stop_tokens:
+                self.on_tokens(r.request.request_id, [t])
             if t in self._stop_tokens or slot.remaining <= 0:
                 self._finish(b, "stop" if t in self._stop_tokens else "length")
 
@@ -1058,6 +1066,8 @@ class ServingEngine:
         )
         for slot_idx in live:
             slot = self.slots[slot_idx]
+            rid = slot.request.request_id
+            streamed: List[int] = []
             for t in row_toks[slot_idx]:
                 t = int(t)
                 slot.generated.append(t)
@@ -1065,9 +1075,12 @@ class ServingEngine:
                 if t in self._stop_tokens:
                     self._finish(slot_idx, "stop")
                     break
+                streamed.append(t)  # after the stop check: mirror Completion.token_ids
                 if slot.remaining <= 0:
                     self._finish(slot_idx, "length")
                     break
+            if streamed and self.on_tokens is not None:
+                self.on_tokens(rid, streamed)
         return True
 
     def get_completion(self, request_id: str, timeout: Optional[float] = None) -> Completion:

@@ -13,6 +13,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import queue
 import re
 import threading
 import time
@@ -128,6 +129,9 @@ class OpenAIServer:
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length))
+                    if payload.get("stream"):
+                        outer.handle_chat_stream(payload, self)
+                        return
                     resp = outer.handle_chat(payload)
                     self._json(200, resp)
                 except Exception as e:  # error schema matches OpenAI
@@ -136,6 +140,17 @@ class OpenAIServer:
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
+        # SSE streaming: per-request token queues fed by the engine's on_tokens hook
+        # (pump thread) and drained by the request's handler thread.
+        self._stream_lock = threading.Lock()
+        self._stream_queues: dict = {}
+        engine.on_tokens = self._route_tokens
+
+    def _route_tokens(self, request_id: str, toks: List[int]) -> None:
+        with self._stream_lock:
+            q = self._stream_queues.get(request_id)
+        if q is not None:
+            q.put(list(toks))
 
     def handle_chat(self, payload: dict) -> dict:
         messages = payload["messages"]
@@ -169,6 +184,83 @@ class OpenAIServer:
                 "total_tokens": completion.prompt_tokens + len(completion.token_ids),
             },
         }
+
+    def handle_chat_stream(self, payload: dict, handler) -> None:
+        """SSE streaming (`"stream": true`): OpenAI chat.completion.chunk events.
+
+        The engine's decode loop emits tokens one decode_chunk at a time; each chunk
+        becomes one `data:` event whose delta is the newly decoded text (full-prefix
+        re-decode diff, so BPE pieces spanning chunk boundaries render correctly).
+        The response is raw SSE with `Connection: close` (stream ends at socket close
+        — vLLM's server does the same for HTTP/1.1 clients without chunked support)."""
+        messages = payload["messages"]
+        text, pil_images, _continued = render_chat(messages)
+        ids, prepped = self.processor.encode(text, pil_images)
+        req_id = f"chatcmpl-{uuid.uuid4().hex[:16]}"
+        created = int(time.time())
+        model = payload.get("model", self.model_name)
+
+        def chunk(delta: dict, finish=None) -> bytes:
+            obj = {
+                "id": req_id, "object": "chat.completion.chunk", "created": created,
+                "model": model,
+                "choices": [{"index": 0, "delta": delta, "finish_reason": finish}],
+            }
+            return f"data: {json.dumps(obj)}\n\n".encode()
+
+        q: "queue.Queue" = queue.Queue()
+        with self._stream_lock:
+            self._stream_queues[req_id] = q
+        try:
+            handler.send_response(200)
+            handler.send_header("Content-Type", "text/event-stream")
+            handler.send_header("Cache-Control", "no-cache")
+            handler.send_header("Connection", "close")
+            handler.end_headers()
+            handler.wfile.write(chunk({"role": "assistant"}))
+            handler.wfile.flush()
+            self.engine.submit(Request(
+                request_id=req_id, token_ids=ids, images=prepped,
+                max_tokens=int(payload.get("max_tokens", 256)),
+                temperature=float(payload.get("temperature", 0.0)),
+                top_p=float(payload.get("top_p", 1.0)),
+            ))
+            deadline = time.time() + self.request_timeout
+            acc: List[int] = []
+            sent = ""
+
+            def emit(new_toks: List[int]):
+                nonlocal sent
+                acc.extend(new_toks)
+                full = self.processor.tokenizer.decode(acc)
+                delta = full[len(sent):]
+                if delta:
+                    sent = full
+                    handler.wfile.write(chunk({"content": delta}))
+                    handler.wfile.flush()
+
+            done = False
+            while not done:
+                try:
+                    emit(q.get(timeout=0.25))
+                except queue.Empty:
+                    if req_id in self.engine.results:
+                        done = True
+                    elif time.time() > deadline:
+                        raise TimeoutError(req_id)
+            completion = self.engine.get_completion(req_id, timeout=1.0)
+            # drain tokens that raced the completion notification
+            while True:
+                try:
+                    emit(q.get_nowait())
+                except queue.Empty:
+                    break
+            handler.wfile.write(chunk({}, finish=completion.finish_reason))
+            handler.wfile.write(b"data: [DONE]\n\n")
+            handler.wfile.flush()
+        finally:
+            with self._stream_lock:
+                self._stream_queues.pop(req_id, None)
 
     def start(self):
         self.engine.start()
