@@ -81,7 +81,7 @@ def main_engine():
     if os.environ.get("BENCH_NO_INT8") != "1":
         from zoomearth_tpu.ops.quant import quantize_decoder_int8
 
-        params = quantize_decoder_int8(params)  # serving default: weight-only int8
+        params = quantize_decoder_int8(params, lm_head=True)  # weight-only int8 serving
     # single prefill bucket + single nonzero patch bucket: admission batch splits are
     # timing-dependent, and every distinct (S, n_emb) shape is a fresh remote compile —
     # collapse the shape space so the 2 warmup rounds cover every program
@@ -189,16 +189,22 @@ def main():
     if os.environ.get("BENCH_NO_INT8") != "1":
         from zoomearth_tpu.ops.quant import quantize_decoder_int8
 
-        params = quantize_decoder_int8(params)  # serving default: weight-only int8
+        params = quantize_decoder_int8(params, lm_head=True)  # weight-only int8 serving
     # int8 KV cache (BENCH_KV_INT8=1): halves cache HBM (capacity lever) but MEASURED
     # SLOWER per decode step on v5e (21.3 vs 15.0 ms at B=64 — XLA lowers the batched
     # int8 cache dot through a materialized bf16 convert instead of streaming int8).
     # Default stays bf16; int8 KV remains the documented long-context/capacity option.
     cache_dtype = jnp.int8 if os.environ.get("BENCH_KV_INT8") == "1" else jnp.bfloat16
-    # batch >= 96: split the gen1 prefill into 48-row slices (bounded activation
-    # transients — Generator.prefill_split_rows) or the program peak OOMs v5e
+    # batch >= 96: split the gen1 prefill into row slices (bounded activation
+    # transients — Generator.prefill_split_rows) or the program peak OOMs v5e.
+    # The slice width must divide BATCH (96 -> 48, 128 -> 32).
+    split = 0
+    if BATCH >= 96 or (_PIPELINE and BATCH >= 64):
+        # pipelined waves keep TWO full caches resident; at batch >= 64 the one-shot
+        # prefill's gate|up transient (B*S*2F bf16, 2.2 GB at 64x768) tips the peak
+        split = next(r for r in (48, 32, 16, 8) if BATCH % r == 0)
     gen = Generator(params, cfg, max_cache_len=1536, cache_dtype=cache_dtype,
-                    prefill_split_rows=48 if BATCH >= 96 else 0)
+                    prefill_split_rows=split)
     tiles = [TileImage(synthetic_tile(i)) for i in range(BATCH)]
     rng = np.random.default_rng(0)
 
@@ -236,10 +242,13 @@ def main():
         meta_dev = vision_meta_to_device(meta)
         key = (pad_to, meta.win_mode)
         if key not in _vit_fns:
+            # close over ONLY the vision subtree: the ViT program's compile key then
+            # survives text-side layout changes (int8 lm_head etc.)
             _vit_fns[key] = jax.jit(
-                lambda p, x, m, wm=meta.win_mode: compute_vision_embeds(p, cfg, x, m, win_mode=wm)
+                lambda vp, x, m, wm=meta.win_mode: compute_vision_embeds(
+                    {"vision": vp}, cfg, x, m, win_mode=wm)
             )
-        return _vit_fns[key](params, pv_dev, meta_dev)
+        return _vit_fns[key](params["vision"], pv_dev, meta_dev)
 
     def _embed_tiles():
         pv = np.concatenate([p for p, _ in stage1_prepped], axis=0)

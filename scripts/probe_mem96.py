@@ -34,9 +34,11 @@ print(f"device: {jax.devices()[0]} B={B}", file=sys.stderr)
 
 params = _zero_params(cfg, jnp.bfloat16)
 params = fuse_decoder_matmuls(params)
-params = quantize_decoder_int8(params)
-gen = Generator(params, cfg, max_cache_len=1536)
-print("[ok] params on device", flush=True)
+params = quantize_decoder_int8(params, lm_head=True)
+SPLIT = int(os.environ.get("PROBE_SPLIT", "48"))
+gen = Generator(params, cfg, max_cache_len=1536,
+                prefill_split_rows=SPLIT if B > SPLIT else 0)
+print(f"[ok] params on device (prefill_split_rows={gen.prefill_split_rows})", flush=True)
 
 tiles = [TileImage(synthetic_tile(i % 16)) for i in range(B)]
 
@@ -57,8 +59,8 @@ pv = np.concatenate([p for p, _ in prepped], axis=0)
 grids = [g for _, g in prepped]
 meta = vision_metadata(grids, cfg.vision, pad_to=pv.shape[0])
 meta_dev = vision_meta_to_device(meta)
-fn = jax.jit(lambda p, x, m: compute_vision_embeds(p, cfg, x, m, win_mode=meta.win_mode))
-embeds = fn(params, jnp.asarray(pv), meta_dev)
+fn = jax.jit(lambda vp, x, m: compute_vision_embeds({"vision": vp}, cfg, x, m, win_mode=meta.win_mode))
+embeds = fn(params["vision"], jnp.asarray(pv), meta_dev)
 np.asarray(embeds[:1])
 print(f"[ok] stage-1 ViT embed cache ({pv.shape[0]} patches, win_mode={meta.win_mode}) "
       f"{time.time()-t0:.0f}s", flush=True)
@@ -97,6 +99,16 @@ for i, t in enumerate(tiles):
     keep.append(int(b1.lengths[i]) + kept)
     starts.append(int(b1.next_pos[i]) + kept)
 bc = prepare_continuation(cfg, chunks, chunk_imgs, starts)
+# crop ViT as its OWN program (bench.py run_vit pattern): transients don't stack
+# on the chunk-prefill's
+pv2_all = jnp.asarray(bc.pixel_values)
+grids2 = [imgs[0][1] for imgs in chunk_imgs]
+meta2 = vision_metadata(grids2, cfg.vision, pad_to=pv2_all.shape[0])
+fn2 = jax.jit(lambda vp, x, m: compute_vision_embeds({"vision": vp}, cfg, x, m, win_mode=meta2.win_mode))
+embeds2 = fn2(params["vision"], pv2_all, vision_meta_to_device(meta2))
+np.asarray(embeds2[:1])
+print(f"[ok] stage-2 crop ViT ({pv2_all.shape[0]} patches)", flush=True)
+bc = dataclasses.replace(bc, pixel_values=embeds2, vision_meta=None)
 g2 = GenerationConfig(max_new_tokens=96, temperature=0.01)
 t0 = time.time()
 out2 = gen.continue_generate(cache, bc, np.asarray(keep, np.int32), g2, seed=1)

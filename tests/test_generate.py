@@ -201,3 +201,71 @@ def test_split_row_prefill_matches_full(hf_model):
     out_full = g_full.generate(batch, GenerationConfig(max_new_tokens=10))
     out_split = g_split.generate(batch, GenerationConfig(max_new_tokens=10))
     assert out_split == out_full
+
+
+def test_attend_len_prefix_decode_token_identity(hf_model):
+    """attend_len decode (full-size cache, static prefix read): a Generator whose
+    alloc (512) exceeds the stage's attend bucket (256) must produce tokens identical
+    to one allocated exactly at the bucket — including through a stage-2 continuation
+    whose keep+chunk+new extent crosses into a larger attend bucket."""
+    import dataclasses
+
+    params = P.convert_hf_state_dict(hf_model.state_dict(), CFG, dtype="float32")
+    g_big = Generator(params, CFG, max_cache_len=512, cache_dtype="float32")
+    g_ref = Generator(params, CFG, max_cache_len=256, cache_dtype="float32")
+    # stage 1: S=64 bucket + 10 new -> attend bucket 256 (< 512 alloc) in g_big
+    seqs, pvs, grids = [], [], []
+    for seed in (11, 12, 13):
+        ids, pv, grid = _image_seq((1, 4, 4), seed=seed)
+        seqs.append(ids + [9] * (seed % 7))
+        pvs.append(pv)
+        grids.append(grid)
+    batch = prepare_batch(CFG, seqs, [[(pv, g)] for pv, g in zip(pvs, grids)],
+                          length_buckets=(64,), patch_buckets=(64,))
+    g1 = GenerationConfig(max_new_tokens=10)
+    out_big, cache_big = g_big.generate(batch, g1, return_cache=True)
+    out_ref, cache_ref = g_ref.generate(batch, g1, return_cache=True)
+    assert out_big == out_ref
+    # the big generator's stage-1 decode really compiled a prefix-read program
+    assert any(k[-1] == 256 for k in g_big._decode_fns), list(g_big._decode_fns)
+    assert all(k[-1] is None for k in g_ref._decode_fns)
+    # stage 2: continuation pushes need past 256 -> g_big reads a bigger span
+    from zoomearth_tpu.runtime.generate import prepare_continuation
+
+    tok = CFG.tokens
+    ids2, pv2, grid2 = _image_seq((1, 4, 4), seed=21)
+    chunks = [[tok.vision_start] + [tok.image_pad] * 4 + [tok.vision_end]] * 3
+    keep = np.asarray([int(batch.lengths[i]) + len(out_big[i]) for i in range(3)], np.int32)
+    starts = [int(batch.next_pos[i]) + len(out_big[i]) for i in range(3)]
+    bc = prepare_continuation(CFG, chunks, [[(pv2, grid2)]] * 3, starts)
+    g2 = GenerationConfig(max_new_tokens=8)
+    out2_big = g_big.continue_generate(cache_big, bc, keep, g2)
+    out2_ref = g_ref.continue_generate(cache_ref, bc, keep, g2)
+    assert out2_big == out2_ref
+
+
+def test_int8_lm_head_plumbing(hf_model):
+    """quantize_decoder_int8(lm_head=True): logits head streams the int8 copy; greedy
+    decode still runs and the fp32-vs-int8 logits error stays at quantization scale."""
+    import jax.numpy as jnp
+
+    from zoomearth_tpu.models.decoder import logits_from_hidden
+    from zoomearth_tpu.ops.quant import quantize_decoder_int8
+
+    params = P.convert_hf_state_dict(hf_model.state_dict(), CFG, dtype="float32")
+    qparams = quantize_decoder_int8(params, lm_head=True)
+    assert "lm_head_q8" in qparams["text"]
+    rng = np.random.default_rng(0)
+    hidden = jnp.asarray(rng.standard_normal((2, 1, CFG.text.hidden_size)), jnp.float32)
+    ref = logits_from_hidden(params["text"], CFG.text, hidden)
+    q = logits_from_hidden(qparams["text"], CFG.text, hidden)
+    # per-column int8: relative error bounded by the quantization step
+    denom = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert float(jnp.max(jnp.abs(q - ref))) / denom < 0.02
+    # end-to-end: generation runs with the quantized head
+    ids, pv, grid = _image_seq((1, 4, 4), seed=3)
+    batch = prepare_batch(CFG, [ids], [[(pv, grid)]],
+                          length_buckets=(64,), patch_buckets=(16,))
+    gq = Generator(qparams, CFG, max_cache_len=128, cache_dtype="float32")
+    out = gq.generate(batch, GenerationConfig(max_new_tokens=6))
+    assert len(out) == 1 and len(out[0]) <= 6

@@ -117,6 +117,7 @@ def _attn_layer(
     cache_len: Optional[jnp.ndarray],  # (B,)
     use_flash: bool = False,  # inference-only (no VJP); opt-in: XLA wins at S<~2k
     write_pos: Optional[jnp.ndarray] = None,  # (B, S) explicit kv write slots; >= T drops
+    attend_len: Optional[int] = None,  # STATIC: decode attends only cache[:, :, :attend_len]
 ):
     B, S, _ = x.shape
     H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -187,31 +188,45 @@ def _attn_layer(
                 scatter1 = jax.vmap(lambda c, x, i: jax.lax.dynamic_update_slice(c, x, (0, i)))
                 ks_cache = scatter1(ks_cache, ks_new.transpose(0, 2, 1), idx)
                 vs_cache = scatter1(vs_cache, vs_new.transpose(0, 2, 1), idx)
+        # Decode reads the WHOLE cache allocation every step (masked) — attend_len
+        # (STATIC, a bucket >= this stage's prompt+new extent) restricts the read to a
+        # prefix slice of the full-size buffer. Same bandwidth saving as allocating a
+        # right-sized cache, but with NO growth copy at the stage-2 transition (the
+        # jnp.pad growth held old+new trees simultaneously and OOM'd big-batch waves)
+        # and donation-stable shapes. Writes (drop-scatter above) still target the
+        # full buffer; callers guarantee every valid slot index < attend_len.
+        if S == 1 and attend_len is not None and attend_len < k_cache.shape[2]:
+            k_att = k_cache[:, :, :attend_len, :]
+            v_att = v_cache[:, :, :attend_len, :]
+            ks_att = ks_cache[:, :, :attend_len] if quant else None
+            vs_att = vs_cache[:, :, :attend_len] if quant else None
+        else:
+            k_att, v_att, ks_att, vs_att = k_cache, v_cache, ks_cache, vs_cache
         if S == 1 and quant:
-            T = k_cache.shape[2]
+            T = k_att.shape[2]
             if _use_flash_decode_q8() and T % 512 == 0 and D % 128 == 0:
                 # opt-in int8 Pallas decode (see _use_flash_decode_q8: loses in-model
                 # to XLA q8 at our shapes despite half the cache bytes)
                 from ..ops.flash_decode import flash_decode_attention
 
                 out = flash_decode_attention(
-                    q, k_cache, v_cache, cache_len + 1, ks_cache, vs_cache
+                    q, k_att, v_att, cache_len + 1, ks_att, vs_att
                 )
             else:
                 # int8 decode attention: int8 values feed the MXU directly; per-token
                 # scales applied to logits columns (K) and to p rows (V) — exact algebra.
                 out = decode_attention_q8(
-                    q, k_cache, v_cache, ks_cache, vs_cache, kv_len=cache_len + 1
+                    q, k_att, v_att, ks_att, vs_att, kv_len=cache_len + 1
                 )
         elif S == 1:
             # Single-step decode: attend over the prefix + the new token.
-            T = k_cache.shape[2]
+            T = k_att.shape[2]
             if _use_flash_decode() and T % 512 == 0 and D % 128 == 0:
                 from ..ops.flash_decode import flash_decode_attention
 
-                out = flash_decode_attention(q, k_cache, v_cache, cache_len + 1)
+                out = flash_decode_attention(q, k_att, v_att, cache_len + 1)
             else:
-                out = decode_attention(q, k_cache, v_cache, kv_len=cache_len + 1)
+                out = decode_attention(q, k_att, v_att, kv_len=cache_len + 1)
         elif quant and use_flash:
             # int8 chunk prefill: the flash kernel streams int8 values (half the
             # HBM bytes) and applies the per-token scales in VMEM — a dequantized
@@ -270,6 +285,7 @@ def decoder_forward(
     update_cache_len: bool = True,
     use_flash: bool = False,
     write_pos: Optional[jnp.ndarray] = None,
+    attend_len: Optional[int] = None,
 ):
     """Run the decoder stack. Returns (hidden_states, new_cache).
 
@@ -301,6 +317,7 @@ def decoder_forward(
             layer["attn"], cfg, h, cos, sin, attn_positions, attn_valid, cache_kv, cache_len,
             use_flash=use_flash and _use_flash() and S > 1,
             write_pos=write_pos,
+            attend_len=attend_len,
         )
         x = x + attn_out
         h = rms_norm(x, layer["post_ln"]["scale"], cfg.rms_norm_eps)
@@ -328,7 +345,18 @@ def logits_from_hidden(params, cfg: TextConfig, hidden: jnp.ndarray) -> jnp.ndar
 
     preferred_element_type=f32 gives fp32 MXU accumulation without materializing an
     fp32 copy of the 151936xE embedding (which costs 1.2 GB of HBM traffic per decode
-    step at 3B scale). With fp32 params (CPU parity tests) this is exact fp32."""
+    step at 3B scale). With fp32 params (CPU parity tests) this is exact fp32.
+
+    int8 serving (quantize_decoder_int8(lm_head=True)): a quantized copy of the head
+    lives at params["lm_head_q8"] — the mixed-dtype dot streams half the bytes; the
+    per-output-column scale is applied to the fp32 logits (exact algebra)."""
+    if "lm_head_q8" in params:
+        w = params["lm_head_q8"]
+        y = jax.lax.dot_general(
+            hidden, w["q"], (((hidden.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return y * w["s"].astype(jnp.float32)
     if cfg.tie_word_embeddings:
         w = params["embed"]["weight"].T
     else:

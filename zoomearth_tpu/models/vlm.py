@@ -60,6 +60,7 @@ def vlm_forward(
     write_pos: Optional[jnp.ndarray] = None,
     vision_embeds: Optional[jnp.ndarray] = None,
     win_mode: int = 0,  # STATIC VisionMetadata.win_mode (ViT windowed-attention path)
+    attend_len: Optional[int] = None,  # STATIC decode attention prefix (decoder_forward)
 ):
     """Full forward -> (logits float32, new_cache).
 
@@ -101,6 +102,7 @@ def vlm_forward(
         update_cache_len=update_cache_len,
         use_flash=use_flash,
         write_pos=write_pos,
+        attend_len=attend_len,
     )
     if logit_index is not None:
         hidden = jnp.take_along_axis(hidden, logit_index[:, None, None], axis=1)[:, 0]

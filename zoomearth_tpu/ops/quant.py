@@ -53,11 +53,26 @@ def qdot(x: jnp.ndarray, w) -> jnp.ndarray:
     return x @ w
 
 
-def quantize_decoder_int8(params):
+def quantize_decoder_int8(params, lm_head: bool = False):
     """Quantize the text-decoder layer matmuls in a param tree (returns a new tree;
     norms/biases/embedding untouched). Handles both the plain layout (wq/wk/wv, wg/wu)
-    and the fused serving layout from `fuse_decoder_matmuls` (wqkv, wgu)."""
+    and the fused serving layout from `fuse_decoder_matmuls` (wqkv, wgu).
+
+    lm_head=True additionally stores an int8 COPY of the logits head as
+    text["lm_head_q8"] (the token-lookup embedding stays bf16 — gathers don't read
+    the whole table, the logits matmul does: 622 MB/step at 3B scale, ~0.9 ms of the
+    decode step's HBM bound). logits_from_hidden picks it up when present. Costs
+    +311 MB resident HBM for the copy; per-output-column scales, argmax impact must
+    be validated per checkpoint like the rest of the int8 path."""
     out = {"vision": params["vision"], "text": dict(params["text"])}
+    if lm_head:
+        text = params["text"]
+        w = (
+            text["embed"]["weight"].T
+            if "lm_head" not in text
+            else text["lm_head"]["weight"]
+        )
+        out["text"]["lm_head_q8"] = quantize_int8(w)
     new_layers = []
     for layer in params["text"]["layers"]:
         nl = {"input_ln": layer["input_ln"], "post_ln": layer["post_ln"]}

@@ -199,7 +199,16 @@ class Generator:
         self._prefill_fns = {}
         self._decode_fns = {}
 
-    # -- jitted stages ------------------------------------------------------
+    @staticmethod
+    def _attend_bucket(need: int, alloc: int):
+        """Smallest cache bucket covering `need` rows, or None for a full-allocation
+        read. Decode attention reads the whole (masked) span it is compiled for, so a
+        stage whose prompt+new extent fits a smaller bucket passes that bucket as the
+        STATIC attend_len and reads only that prefix of the full-size buffer."""
+        for b in DEFAULT_CACHE_BUCKETS:
+            if need <= b < alloc:
+                return b
+        return None
 
     def _prefill(self, params, ids, lengths, pos, pixel_values, meta, cache, *, use_flash=False, win_mode=0):
         """Prefill the cache; returns (last-token logits (B, V), cache).
@@ -240,10 +249,13 @@ class Generator:
         B=96/S=768), which stacked on weights + the full cache OOMs v5e (probe_mem96);
         two half-batch passes reuse one compiled program and halve that peak."""
         R, S = ids.shape
-        T = cache_full.k[0].shape[2]
         attn_positions = jnp.broadcast_to(jnp.arange(S)[None], (R, S))
         attn_valid = attn_positions < lengths[:, None]
-        tmp = KVCache.create(self.cfg.text, R, T, self.cache_dtype)
+        # tmp cache sized to the PREFILL extent (S), not the full allocation: the
+        # prefill writes only slots < S, and a full-T tmp tree adds R*(T-S) rows of
+        # dead HBM to the program peak (2.7 GB at R=48/T=1536 — the probe_mem96
+        # margin at B=96)
+        tmp = KVCache.create(self.cfg.text, R, S, self.cache_dtype)
         last, tmp = vlm_forward(
             params, self.cfg, ids, pos,
             attn_positions=attn_positions, attn_valid=attn_valid,
@@ -269,12 +281,17 @@ class Generator:
         )
         return last, cache_full
 
-    def _decode_loop(self, params, first_logits, cache, next_pos, key, done0=None, *, max_new, temperature, top_p, stop_tokens):
+    def _decode_loop(self, params, first_logits, cache, next_pos, key, done0=None, *, max_new, temperature, top_p, stop_tokens, attend_len=None):
         """While-loop decode. Returns tokens (B, max_new) padded with pad id after stop.
 
         done0: optional (B,) bool — rows starting as done decode nothing (their slots
         stay idle and the loop exits as soon as the live rows finish); used for inert
-        rows in batched continuations (e.g. GRPO rollouts without a stage-2 crop)."""
+        rows in batched continuations (e.g. GRPO rollouts without a stage-2 crop).
+
+        attend_len (STATIC): decode attention reads only cache[:, :, :attend_len] — a
+        bucket covering this stage's prompt + max_new extent. The cache buffer itself
+        stays full-size (max_cache_len), so the stage-2 continuation needs no growth
+        copy; only the hot loop's read span shrinks (see decoder._attn_layer)."""
         B = first_logits.shape[0]
         pad_id = self.cfg.tokens.pad
         stop = jnp.asarray(stop_tokens, jnp.int32)
@@ -305,6 +322,7 @@ class Generator:
                 pos3,
                 attn_positions=cache.length[:, None],
                 cache=cache,
+                attend_len=attend_len,
             )
             return step + 1, done_next, tokens_buf, logits[:, 0], cache, pos + 1, key
 
@@ -420,7 +438,8 @@ class Generator:
                 donate_argnums=(7,) if T2 == T_old else (),
             )
         chunk_prefill = self._prefill_fns[key]
-        dc_key = (B, gen.max_new_tokens, gen.temperature, gen.top_p, stop_tokens)
+        attend = self._attend_bucket(need, T2)
+        dc_key = (B, gen.max_new_tokens, gen.temperature, gen.top_p, stop_tokens, attend)
         if dc_key not in self._decode_fns:
             self._decode_fns[dc_key] = jax.jit(
                 functools.partial(
@@ -429,6 +448,7 @@ class Generator:
                     temperature=gen.temperature,
                     top_p=gen.top_p,
                     stop_tokens=stop_tokens,
+                    attend_len=attend,
                 )
             )
         decode = self._decode_fns[dc_key]
@@ -533,7 +553,8 @@ class Generator:
             )
         prefill = self._prefill_fns[pf_key]
 
-        dc_key = (B, gen.max_new_tokens, gen.temperature, gen.top_p, stop_tokens)
+        attend = self._attend_bucket(S + gen.max_new_tokens, T1)
+        dc_key = (B, gen.max_new_tokens, gen.temperature, gen.top_p, stop_tokens, attend)
         if dc_key not in self._decode_fns:
             self._decode_fns[dc_key] = jax.jit(
                 functools.partial(
@@ -542,6 +563,7 @@ class Generator:
                     temperature=gen.temperature,
                     top_p=gen.top_p,
                     stop_tokens=stop_tokens,
+                    attend_len=attend,
                 )
             )
         decode = self._decode_fns[dc_key]
