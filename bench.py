@@ -39,16 +39,21 @@ _PIPELINE = os.environ.get("BENCH_PIPELINE", "1") == "1"
 # so 64 OOMs there — the shipping operating point is 48 pipelined (6.6 q/s, measured
 # r4), vs 64 non-pipelined (5.6 q/s): see the frontier table in BASELINE.md.
 BATCH = int(os.environ.get("BENCH_BATCH", "48" if _PIPELINE else "64"))
-STAGE1_NEW = 160
-STAGE2_NEW = 96
+STAGE1_NEW = int(os.environ.get("BENCH_S1_NEW", "160"))
+STAGE2_NEW = int(os.environ.get("BENCH_S2_NEW", "96"))
 WAVES = int(os.environ.get("BENCH_WAVES", "3"))  # timed waves (after warmup waves)
 A100_VLLM_BASELINE_QPS = 2.0  # documented estimate, see module docstring
+# BENCH_TINY=1: VLMConfig.tiny() + small tiles — validates the bench DRIVER (wave
+# pipelining, pair decode, stage-2 host path) on CPU in seconds; numbers meaningless.
+_TINY = os.environ.get("BENCH_TINY") == "1"
+_TILE_PX = int(os.environ.get("BENCH_TILE_PX", "250" if _TINY else "5000"))
 
 
-def synthetic_tile(seed, size=5000):
+def synthetic_tile(seed, size=_TILE_PX):
     rng = np.random.default_rng(seed)
     small = rng.integers(0, 255, (50, 50, 3), dtype=np.uint8)
-    return np.kron(small, np.ones((size // 50, size // 50, 1), dtype=np.uint8))
+    rep = max(1, size // 50)
+    return np.kron(small, np.ones((rep, rep, 1), dtype=np.uint8))
 
 
 def main_engine():
@@ -178,7 +183,7 @@ def main():
     from zoomearth_tpu.runtime.generate import GenerationConfig, Generator, prepare_batch
     from __graft_entry__ import _zero_params
 
-    cfg = VLMConfig.qwen2_5_vl_3b()
+    cfg = VLMConfig.tiny() if _TINY else VLMConfig.qwen2_5_vl_3b()
     tok = cfg.tokens
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
 
@@ -264,9 +269,9 @@ def main():
         for pv, grid in stage1_prepped:
             n_img = (grid[0] * grid[1] * grid[2]) // cfg.vision.merge_unit
             ids = (
-                [tok.im_start] + list(rng.integers(100, 100000, size=20))
+                [tok.im_start] + list(rng.integers(100, min(100000, cfg.text.vocab_size - 16), size=20))
                 + [tok.vision_start] + [tok.image_pad] * n_img + [tok.vision_end]
-                + list(rng.integers(100, 100000, size=350))
+                + list(rng.integers(100, min(100000, cfg.text.vocab_size - 16), size=350))
             )
             token_lists.append(ids)
             images.append([(pv, grid)])
@@ -356,16 +361,20 @@ def main():
                   f"| gen2 {time.time() - t2:.2f}s", file=sys.stderr)
         return out1, out2
 
-    # Two warmup waves: one to compile every program, one more to flush any
-    # first-steady-state effects (transfer buffer setup, donation aliasing). Compiles
-    # through the axon remote tunnel cost 40-250s, so any program missed here would
-    # otherwise halve the recorded number (BENCH_r02: one timed wave absorbed ~25s).
-    t0 = time.time()
-    run_wave(build_stage1(-1), 0)
-    print(f"warmup 1 (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    run_wave(build_stage1(0), 1)
-    print(f"warmup 2 (steady-state check): {time.time() - t0:.1f}s", file=sys.stderr)
+    pair = _PIPELINE and os.environ.get("BENCH_PAIR", "1") == "1"
+    if not pair:
+        # Two warmup waves: one to compile every program, one more to flush any
+        # first-steady-state effects (transfer buffer setup, donation aliasing). Compiles
+        # through the axon remote tunnel cost 40-250s, so any program missed here would
+        # otherwise halve the recorded number (BENCH_r02: one timed wave absorbed ~25s).
+        # (pair mode instead lets its first iterations absorb compiles — the steady-
+        # window guard excludes them.)
+        t0 = time.time()
+        run_wave(build_stage1(-1), 0)
+        print(f"warmup 1 (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        run_wave(build_stage1(0), 1)
+        print(f"warmup 2 (steady-state check): {time.time() - t0:.1f}s", file=sys.stderr)
 
     # Timed region with a steady-state guard: the reported number is the best WAVES
     # consecutive waves that agree within 10% (max/min <= 1.10 — BENCH_r03's window
@@ -391,7 +400,84 @@ def main():
         return list(best)
 
     pipeline = _PIPELINE
-    if pipeline:
+    if pair:
+        # PAIR-pipelined waves (the shipping mode): wave n's stage-1 decode and wave
+        # n-1's stage-2 decode run CO-BATCHED in one program (Generator.run_decode_pair
+        # / decoder_forward_pair) for the first STAGE2_NEW steps — the ~3 GB/step
+        # weight stream is read once for both, saving STAGE2_NEW x ~4.4 ms of HBM
+        # time per wave vs decoding them back to back; stage 1 then finishes its
+        # remaining tokens in a solo loop. Bootstrap and drain use an inert dummy
+        # partner (rows start done) so ONE pair program serves every iteration.
+        from zoomearth_tpu.models.decoder import KVCache
+        from zoomearth_tpu.runtime.generate import GenerationConfig as _GC
+
+        g_solo = _GC(max_new_tokens=STAGE1_NEW - STAGE2_NEW, temperature=0.01)
+        N = WAVES + MAX_EXTRA + 2  # head iterations absorb the compiles
+        loader = iter(PrefetchLoader(range(N), build_stage1, depth=1))
+        dispatch_t, complete_t = [], []
+        pending = None  # (b1, stage1 tokens device, cache1) of the previous wave
+        attend1_seen = None
+
+        def dummy_group(attend):
+            dcache = gen.new_cache(BATCH)
+            dlogits = jnp.zeros((BATCH, cfg.text.vocab_size), jnp.float32)
+            dpos = np.zeros((BATCH,), np.int32)
+            ddone = jnp.ones((BATCH,), jnp.bool_)
+            return (dlogits, dcache, dpos, attend, ddone)
+
+        def stage2_group(pend):
+            pb1, ptoks, pcache = pend
+            t0 = time.time()
+            out1_prev = gen.trim_generated(np.asarray(ptoks))  # async copy fired at dispatch
+            t1 = time.time()
+            bc, keep = build_stage2_chunks(out1_prev, pb1)
+            t2 = time.time()
+            logits2, cache2, attend2 = gen.run_chunk_prefill(
+                pcache, bc, keep, max_new=STAGE2_NEW
+            )
+            if timing:
+                print(f"  [pair] tok-readback {t1 - t0:.2f}s | s2 host {t2 - t1:.2f}s",
+                      file=sys.stderr)
+            return (logits2, cache2, bc.next_pos, attend2, None)
+
+        for w in range(N):
+            prebuilt = next(loader)
+            b1 = prebuilt[0]
+            dispatch_t.append(time.time())
+            logits1, cache1, attend1 = gen.run_prefill(b1, max_new=STAGE1_NEW)
+            attend1_seen = attend1
+            group_b = stage2_group(pending) if pending is not None else dummy_group(None)
+            buf_a, done_a, la2, cache1, buf_b, _ = gen.run_decode_pair(
+                (logits1, cache1, b1.next_pos, attend1, None), group_b,
+                steps=STAGE2_NEW, temperature=0.01, seed=w + 2,
+            )
+            buf_b.copy_to_host_async()  # fires the moment the pair loop completes
+            rest, cache1 = gen.run_decode(
+                la2, cache1, np.asarray(b1.next_pos) + STAGE2_NEW, g_solo,
+                seed=w + 50, attend=attend1, done0=done_a,
+            )
+            toks_dev = jnp.concatenate([buf_a, rest], axis=1)
+            toks_dev.copy_to_host_async()
+            if pending is not None:
+                np.asarray(buf_b)  # wave w-1's stage-2 tokens -> episode complete
+                complete_t.append(time.time())
+            pending = (b1, toks_dev, cache1)
+        # drain: the last wave's stage-2 pairs with an inert dummy stage-1 group
+        group_b = stage2_group(pending)
+        _, _, _, _, buf_b, _ = gen.run_decode_pair(
+            dummy_group(attend1_seen), group_b,
+            steps=STAGE2_NEW, temperature=0.01, seed=N + 2,
+        )
+        buf_b.copy_to_host_async()
+        np.asarray(buf_b)
+        complete_t.append(time.time())
+        intervals = [complete_t[i] - complete_t[i - 1] for i in range(1, len(complete_t))]
+        wave_times = pick_window(intervals)
+        # steady-state latency: the first two waves absorb the remote compiles
+        episode_lat = [complete_t[i] - dispatch_t[i] for i in range(2, len(complete_t))]
+        lat_p50 = float(np.percentile(episode_lat, 50))
+        lat_p95 = float(np.percentile(episode_lat, 95))
+    elif pipeline:
         # Software-pipelined waves: dispatch wave n's stage-1 generation (async),
         # then drain wave n-1 (token readback -> host crops -> KV-reuse gen2) while
         # the device runs wave n. Host/tunnel work (crops, uploads, readbacks) hides
@@ -458,8 +544,10 @@ def main():
     print(f"{WAVES} waves x {BATCH} episodes in {dt:.2f}s (wave_times=[{times_str}], "
           f"pipeline={pipeline})", file=sys.stderr)
     print(json.dumps({
-        "metric": f"LRS-GRO-shaped zoom-QA episodes/sec/chip (3B int8-serving, 2-stage, "
-                  f"batch {BATCH}{', pipelined' if pipeline else ''})",
+        "metric": f"LRS-GRO-shaped zoom-QA episodes/sec/chip "
+                  f"({'TINY-SMOKE' if _TINY else '3B int8-serving'}, 2-stage, "
+                  f"batch {BATCH}"
+                  f"{', pair-pipelined' if pair else ', pipelined' if pipeline else ''})",
         "value": round(qps, 3),
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / A100_VLLM_BASELINE_QPS, 3),

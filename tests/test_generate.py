@@ -269,3 +269,40 @@ def test_int8_lm_head_plumbing(hf_model):
     gq = Generator(qparams, CFG, max_cache_len=128, cache_dtype="float32")
     out = gq.generate(batch, GenerationConfig(max_new_tokens=6))
     assert len(out) == 1 and len(out[0]) <= 6
+
+
+def test_pair_decode_token_identity(hf_model):
+    """run_decode_pair (co-batched two-group decode, one dense pass per step) +
+    solo resume must produce tokens identical to the sequential solo decodes
+    (greedy). Group a = a fresh stage-1 batch decoding 12 tokens (5 paired + 7
+    solo resume); group b = an independent batch decoding 5."""
+    params = P.convert_hf_state_dict(hf_model.state_dict(), CFG, dtype="float32")
+    g = Generator(params, CFG, max_cache_len=256, cache_dtype="float32")
+
+    def build(seeds):
+        seqs, imgs = [], []
+        for s in seeds:
+            ids, pv, grid = _image_seq((1, 4, 4), seed=s)
+            seqs.append(ids + [3] * (s % 5))
+            imgs.append([(pv, grid)])
+        return prepare_batch(CFG, seqs, imgs, length_buckets=(64,), patch_buckets=(64,))
+
+    batch_a, batch_b = build((31, 32)), build((41, 42))
+    ref_a = g.generate(batch_a, GenerationConfig(max_new_tokens=12))
+    ref_b = g.generate(batch_b, GenerationConfig(max_new_tokens=5))
+
+    la, ca, aa = g.run_prefill(batch_a, max_new=12)
+    lb, cb, ab = g.run_prefill(batch_b, max_new=5)
+    buf_a, done_a, la2, ca, buf_b, cb = g.run_decode_pair(
+        (la, ca, batch_a.next_pos, aa, None),
+        (lb, cb, batch_b.next_pos, ab, None),
+        steps=5,
+    )
+    toks_b = g.trim_generated(np.asarray(buf_b))
+    assert toks_b == ref_b
+    rest, ca = g.run_decode(
+        la2, ca, np.asarray(batch_a.next_pos) + 5,
+        GenerationConfig(max_new_tokens=7), attend=aa, done0=done_a,
+    )
+    full = np.concatenate([np.asarray(buf_a), np.asarray(rest)], axis=1)
+    assert g.trim_generated(full) == ref_a

@@ -274,6 +274,121 @@ def _mlp(p, x):
     return qdot(jax.nn.silu(qdot(x, p["wg"])) * qdot(x, p["wu"]), p["wd"])
 
 
+def _decode_write_attend(q, k, v, cache_kv, cache_len, attend_len):
+    """Single-token (S==1) cache write + attention for ONE row group: quantize when
+    the cache is int8, drop-scatter the new token at cache_len, attend over the
+    STATIC attend_len prefix. Mirrors _attn_layer's S==1 path (same drop-scatter and
+    prefix-slice rationale — see the comments there); used by decoder_forward_pair
+    where the dense matmuls run on a concatenated batch but each group keeps its own
+    cache and attend span."""
+    k_cache, v_cache, ks_cache, vs_cache = cache_kv
+    quant = k_cache.dtype == jnp.int8
+    if quant:
+        k_store, ks_new = _quantize_kv(k)
+        v_store, vs_new = _quantize_kv(v)
+    else:
+        k_store, v_store = k, v
+    write_pos = cache_len[:, None]
+    bidx = jnp.arange(k_cache.shape[0])[:, None]
+    k_cache = k_cache.at[bidx, :, write_pos, :].set(k_store.astype(k_cache.dtype), mode="drop")
+    v_cache = v_cache.at[bidx, :, write_pos, :].set(v_store.astype(v_cache.dtype), mode="drop")
+    if quant:
+        ks_cache = ks_cache.at[bidx, :, write_pos].set(ks_new, mode="drop")
+        vs_cache = vs_cache.at[bidx, :, write_pos].set(vs_new, mode="drop")
+    if attend_len is not None and attend_len < k_cache.shape[2]:
+        k_att = k_cache[:, :, :attend_len, :]
+        v_att = v_cache[:, :, :attend_len, :]
+        ks_att = ks_cache[:, :, :attend_len] if quant else None
+        vs_att = vs_cache[:, :, :attend_len] if quant else None
+    else:
+        k_att, v_att, ks_att, vs_att = k_cache, v_cache, ks_cache, vs_cache
+    if quant:
+        out = decode_attention_q8(q, k_att, v_att, ks_att, vs_att, kv_len=cache_len + 1)
+    else:
+        out = decode_attention(q, k_att, v_att, kv_len=cache_len + 1)
+    return out, (k_cache, v_cache, ks_cache, vs_cache)
+
+
+def decoder_forward_pair(
+    params,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,  # (Ba + Bb, 1, E) concatenated decode batch
+    position_ids: jnp.ndarray,  # (3, Ba + Bb, 1)
+    cache_a: KVCache,
+    cache_b: KVCache,
+    attend_a: Optional[int] = None,
+    attend_b: Optional[int] = None,
+):
+    """One decode step over TWO independent caches sharing a single dense pass.
+
+    Rows [0:Ba] advance cache_a, rows [Ba:] advance cache_b. The qkv / output /
+    MLP matmuls, norms, and (at the caller) the logits head all run on the
+    CONCATENATED batch — the ~3 GB/step weight stream is read ONCE for both groups.
+    The software-pipelined wave runner otherwise streams it separately for wave n's
+    stage-1 decode and wave n-1's stage-2 decode (reference surface: vLLM's
+    continuous batching folds all live sequences into one step for the same reason,
+    README.md:105-112). Attention runs per group against its own cache with its own
+    STATIC attend span, so a short-context group never pays the long group's cache
+    reads. Returns (hidden, new_cache_a, new_cache_b) with lengths advanced by 1."""
+    Ba = cache_a.k[0].shape[0]
+    B, S, _ = inputs_embeds.shape
+    assert S == 1, "pair decode is single-token only"
+    H, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    cos, sin = mrope_cos_sin(position_ids, cfg.head_dim, cfg.mrope_section, cfg.rope_theta)
+    x = inputs_embeds
+    quant = cache_a.kscale is not None
+    new_a = {"k": [], "v": [], "ks": [], "vs": []}
+    new_b = {"k": [], "v": [], "ks": [], "vs": []}
+    for i, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["input_ln"]["scale"], cfg.rms_norm_eps)
+        p = layer["attn"]
+        if "wqkv" in p:
+            qkv = qdot(h, p["wqkv"]) + p["bqkv"]
+            q = qkv[..., : H * D].reshape(B, S, H, D)
+            k = qkv[..., H * D : (H + Hkv) * D].reshape(B, S, Hkv, D)
+            v = qkv[..., (H + Hkv) * D :].reshape(B, S, Hkv, D)
+        else:
+            q = (qdot(h, p["wq"]) + p["bq"]).reshape(B, S, H, D)
+            k = (qdot(h, p["wk"]) + p["bk"]).reshape(B, S, Hkv, D)
+            v = (qdot(h, p["wv"]) + p["bv"]).reshape(B, S, Hkv, D)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+        out_a, kv_a = _decode_write_attend(
+            q[:Ba], k[:Ba], v[:Ba],
+            (cache_a.k[i], cache_a.v[i],
+             cache_a.kscale[i] if quant else None,
+             cache_a.vscale[i] if quant else None),
+            cache_a.length, attend_a,
+        )
+        out_b, kv_b = _decode_write_attend(
+            q[Ba:], k[Ba:], v[Ba:],
+            (cache_b.k[i], cache_b.v[i],
+             cache_b.kscale[i] if quant else None,
+             cache_b.vscale[i] if quant else None),
+            cache_b.length, attend_b,
+        )
+        for store, kv in ((new_a, kv_a), (new_b, kv_b)):
+            store["k"].append(kv[0])
+            store["v"].append(kv[1])
+            if quant:
+                store["ks"].append(kv[2])
+                store["vs"].append(kv[3])
+        out = jnp.concatenate([out_a, out_b], axis=0)
+        x = x + qdot(out.reshape(B, S, H * D), p["wo"])
+        h = rms_norm(x, layer["post_ln"]["scale"], cfg.rms_norm_eps)
+        x = x + _mlp(layer["mlp"], h)
+    x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
+
+    def repack(cache, store):
+        return KVCache(
+            k=tuple(store["k"]), v=tuple(store["v"]), length=cache.length + 1,
+            kscale=tuple(store["ks"]) if quant else None,
+            vscale=tuple(store["vs"]) if quant else None,
+        )
+
+    return x, repack(cache_a, new_a), repack(cache_b, new_b)
+
+
 def decoder_forward(
     params,
     cfg: TextConfig,

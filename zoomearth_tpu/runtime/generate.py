@@ -199,6 +199,11 @@ class Generator:
         self._prefill_fns = {}
         self._decode_fns = {}
 
+    def new_cache(self, batch: int) -> KVCache:
+        """Fresh full-size cache in this generator's layout (e.g. an inert pair-decode
+        partner, or external prefill orchestration)."""
+        return KVCache.create(self.cfg.text, batch, self.max_cache_len, self.cache_dtype)
+
     @staticmethod
     def _attend_bucket(need: int, alloc: int):
         """Smallest cache bucket covering `need` rows, or None for a full-allocation
@@ -333,6 +338,72 @@ class Generator:
         _, _, tokens_buf, _, cache, _, _ = jax.lax.while_loop(cond, body, state)
         return tokens_buf, cache
 
+    def _decode_loop_pair(self, params, logits_a, cache_a, pos_a, logits_b, cache_b, pos_b, key, done0_a=None, done0_b=None, *, steps, temperature, top_p, stop_tokens, attend_a, attend_b):
+        """Co-batched while-loop decode over TWO independent caches (see
+        decoder_forward_pair): one dense pass per step serves rows of both groups, so
+        the per-step weight stream (~3 GB at 3B int8) is read once instead of twice.
+        The pipelined wave runner pairs wave n's stage-1 decode with wave n-1's
+        stage-2 decode for the first min(steps) tokens.
+
+        Returns (buf_a, done_a, next_logits_a, cache_a, buf_b, cache_b): group a can
+        resume in the standard solo loop (_decode_loop with first_logits =
+        next_logits_a, done0 = done_a) for its remaining tokens."""
+        from ..models.decoder import decoder_forward_pair
+        from ..models.vlm import embed_tokens
+        from ..models.decoder import logits_from_hidden
+
+        Ba = logits_a.shape[0]
+        Bb = logits_b.shape[0]
+        B = Ba + Bb
+        pad_id = self.cfg.tokens.pad
+        stop = jnp.asarray(stop_tokens, jnp.int32)
+
+        def pick(logits, k):
+            if temperature <= 0.0:
+                return greedy(logits)
+            return sample(logits, k, temperature, top_p)
+
+        def cond(state):
+            step, done_a, done_b, *_ = state
+            return (step < steps) & ~(jnp.all(done_a) & jnp.all(done_b))
+
+        def body(state):
+            (step, done_a, done_b, buf_a, buf_b, cur_logits,
+             cache_a, cache_b, pos_a, pos_b, key) = state
+            key, sub = jax.random.split(key)
+            tok = pick(cur_logits, sub)
+            done = jnp.concatenate([done_a, done_b])
+            tok = jnp.where(done, pad_id, tok)
+            buf_a = jax.lax.dynamic_update_slice(buf_a, tok[:Ba, None], (0, step))
+            buf_b = jax.lax.dynamic_update_slice(buf_b, tok[Ba:, None], (0, step))
+            newly = jnp.isin(tok, stop)
+            done_a = done_a | newly[:Ba]
+            done_b = done_b | newly[Ba:]
+            x = embed_tokens(params, tok[:, None])
+            pos = jnp.concatenate([pos_a, pos_b])
+            pos3 = jnp.broadcast_to(pos[None, :, None], (3, B, 1))
+            hidden, cache_a, cache_b = decoder_forward_pair(
+                params["text"], self.cfg.text, x, pos3, cache_a, cache_b,
+                attend_a, attend_b,
+            )
+            logits = logits_from_hidden(params["text"], self.cfg.text, hidden)[:, 0]
+            return (step + 1, done_a, done_b, buf_a, buf_b, logits,
+                    cache_a, cache_b, pos_a + 1, pos_b + 1, key)
+
+        buf_a = jnp.full((Ba, steps), pad_id, jnp.int32)
+        buf_b = jnp.full((Bb, steps), pad_id, jnp.int32)
+        if done0_a is None:
+            done0_a = jnp.zeros((Ba,), jnp.bool_)
+        if done0_b is None:
+            done0_b = jnp.zeros((Bb,), jnp.bool_)
+        state = (0, done0_a, done0_b, buf_a, buf_b,
+                 jnp.concatenate([logits_a, logits_b]),
+                 cache_a, cache_b, pos_a, pos_b, key)
+        (_, done_a, _, buf_a, buf_b, logits, cache_a, cache_b, *_) = jax.lax.while_loop(
+            cond, body, state
+        )
+        return buf_a, done_a, logits[:Ba], cache_a, buf_b, cache_b
+
     def _chunk_prefill(self, params, ids, chunk_lens, keep_len, pos, pixel_values, meta, cache, *, use_flash=False, grow_to=None, win_mode=0):
         """Prefill a continuation chunk into an EXISTING cache truncated to keep_len.
 
@@ -377,168 +448,24 @@ class Generator:
         )
         return logits, cache._replace(length=keep_len + chunk_lens)
 
-    def continue_generate(
-        self,
-        cache,
-        batch: PreparedBatch,
-        keep_len: np.ndarray,
-        gen: GenerationConfig = GenerationConfig(),
-        *,
-        seed: int = 0,
-        return_cache: bool = False,
-        inert_mask: Optional[np.ndarray] = None,
-        block: bool = True,
-    ):
-        """Continue generation from a prior stage's cache: truncate each row's cache to
-        keep_len[b] (dropping e.g. the <answer> tail), prefill only the continuation
-        chunk (stage-2 vision tokens), then decode.
+    # -- composable stages (prefill / chunk-prefill / decode / pair-decode) --
+    # generate()/continue_generate() are built from these; drivers that co-batch
+    # decodes across stages (run_decode_pair) call them directly.
 
-        This is the two-stage prefix-reuse optimization: the reference re-runs the
-        full stitched prompt through prefill (grpo_trainer.py:611, infer.py:247); here
-        stage 2 prefills ~300 tokens instead of ~1200.
-
-        block=False: dispatch-only — returns (tokens_device, cache) WITHOUT the
-        blocking readback (same contract as generate(block=False)): the caller issues
-        tokens_device.copy_to_host_async() and materializes later, so the post-compute
-        readback round trip rides under other work instead of serializing each wave."""
+    def run_prefill(self, batch: PreparedBatch, *, max_new: int = 0):
+        """Stage-1 prefill into a fresh cache. Returns (first_logits, cache, attend)
+        — attend is the STATIC decode read span for this stage (run_decode's
+        attend=). max_new sizes the attend bucket (and, when right_size_cache, the
+        allocation)."""
         cfg = self.cfg
         B, S = batch.input_ids.shape
-        stop_tokens = (cfg.tokens.eos, cfg.tokens.endoftext)
-        n_patches = batch.pixel_values.shape[0] if batch.pixel_values is not None else 0
-        # Chunk-prefill attention path: at the wave shape (B=64/S=384/T=1536) the
-        # Pallas causal kernel beats XLA's masked attention 4.8 vs 8.2 ms/layer-call
-        # (probe_chunk_prefill, r4) — use flash for big shapes. Small shapes (engine
-        # trickle admissions) keep XLA (measured winner there). int8 cache ALWAYS
-        # takes flash: the XLA path materializes a dequantized bf16 copy of the live
-        # KV per layer (~3.6 GB extra HBM traffic per pass at 3B/B=64).
-        quant = jnp.dtype(self.cache_dtype) == jnp.int8
-        big = B * S * self.max_cache_len > 16 * 768 * 1536
-        # target cache rows for this stage: keep + chunk + new tokens, bucketed.
-        # Grown inside the chunk-prefill program (see _chunk_prefill grow_to).
-        T_old = cache.k[0].shape[2]
-        keep_host = keep_len if isinstance(keep_len, np.ndarray) else np.asarray(keep_len)
-        need = int(keep_host.max()) + S + gen.max_new_tokens
-        T2 = T_old
-        if need > T_old:
-            T2 = self.max_cache_len
-            for b in DEFAULT_CACHE_BUCKETS:
-                if need <= b <= self.max_cache_len:
-                    T2 = b
-                    break
-            T2 = max(T2, T_old)
-        win_mode = int(batch.vision_meta.get("win_mode", 0)) if batch.vision_meta else 0
-        key = ("chunk", B, S, n_patches, T_old, T2, win_mode)
-        if key not in self._prefill_fns:
-            self._prefill_fns[key] = jax.jit(
-                functools.partial(self._chunk_prefill, use_flash=quant or big,
-                                  grow_to=T2, win_mode=win_mode),
-                # a grown cache changes shape, so the input can't alias the output
-                # (donating anyway emits a per-layer warning; the buffer is freed
-                # after its last use either way)
-                donate_argnums=(7,) if T2 == T_old else (),
-            )
-        chunk_prefill = self._prefill_fns[key]
-        attend = self._attend_bucket(need, T2)
-        dc_key = (B, gen.max_new_tokens, gen.temperature, gen.top_p, stop_tokens, attend)
-        if dc_key not in self._decode_fns:
-            self._decode_fns[dc_key] = jax.jit(
-                functools.partial(
-                    self._decode_loop,
-                    max_new=gen.max_new_tokens,
-                    temperature=gen.temperature,
-                    top_p=gen.top_p,
-                    stop_tokens=stop_tokens,
-                    attend_len=attend,
-                )
-            )
-        decode = self._decode_fns[dc_key]
-        import os
-        import time
-
-        timing = os.environ.get("ZOOMEARTH_GEN_TIMING") == "1"
-        t0 = time.time()
-        meta = None
-        if batch.vision_meta is not None:
-            meta = {k: jnp.asarray(v) for k, v in batch.vision_meta.items() if k != "win_mode"}
-        pv = jnp.asarray(batch.pixel_values) if batch.pixel_values is not None else None
-        ids_d = jnp.asarray(batch.input_ids)
-        lens_d = jnp.asarray(batch.lengths)
-        pos_d = jnp.asarray(batch.position_ids)
-        if timing:
-            # force the uploads so transfer separates from prefill compute
-            for a in filter(lambda x: x is not None, (pv, ids_d, pos_d)):
-                np.asarray(jax.device_put(a)[(0,) * a.ndim])
-            t1 = time.time()
-        first_logits, cache = chunk_prefill(
-            self.params, ids_d, lens_d,
-            jnp.asarray(keep_len, jnp.int32) if not isinstance(keep_len, jnp.ndarray) else keep_len,
-            pos_d, pv, meta, cache,
-        )
-        if timing:
-            np.asarray(first_logits[0, :1])  # blocking readback: prefill wall time
-            t2 = time.time()
-        done0 = jnp.asarray(inert_mask, bool) if inert_mask is not None else None
-        tokens, cache = decode(
-            self.params, first_logits, cache, jnp.asarray(batch.next_pos), jax.random.key(seed),
-            done0,
-        )
-        if not block:
-            return tokens, cache
-        # register the d2h copy at dispatch time: it fires the moment the decode loop
-        # completes on device. Issuing it only inside np.asarray (i.e. after blocking
-        # on compute) costs a full extra host->device round trip per call on remote
-        # tunnels (measured ~1.5 s on axon for a 30 KB buffer).
-        tokens.copy_to_host_async()
-        tokens = np.asarray(tokens)
-        if timing:
-            import sys
-
-            print(f"    [gen2] transfer {t1 - t0:.2f}s | chunk_prefill {t2 - t1:.2f}s "
-                  f"| decode {time.time() - t2:.2f}s", file=sys.stderr)
-        out = []
-        for b in range(B):
-            row = tokens[b]
-            stops = np.isin(row, stop_tokens)
-            end = int(np.argmax(stops)) if stops.any() else len(row)
-            out.append(row[:end].tolist())
-        if return_cache:
-            return out, cache
-        return out
-
-    # -- public API ---------------------------------------------------------
-
-    def generate(
-        self,
-        batch: PreparedBatch,
-        gen: GenerationConfig = GenerationConfig(),
-        *,
-        seed: int = 0,
-        return_cache: bool = False,
-        block: bool = True,
-    ):
-        """Run prefill + decode. Returns list of generated token lists (stop token
-        excluded), right-trimmed.
-
-        block=False: dispatch-only — returns (tokens_device, cache) WITHOUT the
-        blocking readback; call trim_generated(np.asarray(tokens_device)) later.
-        Lets a driver software-pipeline waves: dispatch wave n's generation, then do
-        wave n-1's host work (stage-2 crops) while the device runs."""
-        cfg = self.cfg
-        B, S = batch.input_ids.shape
-        if S + gen.max_new_tokens > self.max_cache_len:
-            raise ValueError(
-                f"prompt bucket ({S}) + max_new_tokens ({gen.max_new_tokens}) exceeds "
-                f"max_cache_len ({self.max_cache_len})"
-            )
-        stop_tokens = (cfg.tokens.eos, cfg.tokens.endoftext)
-        # Optionally right-size the cache to THIS stage's need (bucketed): decode
-        # attention reads the whole allocation each step, and a continuation
-        # (continue_generate) grows the cache on device when the next stage needs more
-        # rows. See __init__ for why this is opt-in.
+        # Optionally right-size the cache ALLOCATION to this stage's need (bucketed);
+        # the default full-size allocation right-sizes only the decode READS via
+        # attend_len (no growth copy at the stage-2 transition). See __init__.
         T1 = self.max_cache_len
         if self.right_size_cache:
             for b in DEFAULT_CACHE_BUCKETS:
-                if S + gen.max_new_tokens <= b <= self.max_cache_len:
+                if S + max_new <= b <= self.max_cache_len:
                     T1 = b
                     break
         cache = KVCache.create(cfg.text, B, T1, self.cache_dtype)
@@ -552,21 +479,6 @@ class Generator:
                 functools.partial(self._prefill, use_flash=big, win_mode=win_mode)
             )
         prefill = self._prefill_fns[pf_key]
-
-        attend = self._attend_bucket(S + gen.max_new_tokens, T1)
-        dc_key = (B, gen.max_new_tokens, gen.temperature, gen.top_p, stop_tokens, attend)
-        if dc_key not in self._decode_fns:
-            self._decode_fns[dc_key] = jax.jit(
-                functools.partial(
-                    self._decode_loop,
-                    max_new=gen.max_new_tokens,
-                    temperature=gen.temperature,
-                    top_p=gen.top_p,
-                    stop_tokens=stop_tokens,
-                    attend_len=attend,
-                )
-            )
-        decode = self._decode_fns[dc_key]
 
         meta = None
         if batch.vision_meta is not None:
@@ -604,8 +516,208 @@ class Generator:
                 self.params, jnp.asarray(batch.input_ids), jnp.asarray(batch.lengths),
                 jnp.asarray(batch.position_ids), pv, meta, cache,
             )
-        tokens, cache = decode(
-            self.params, first_logits, cache, jnp.asarray(batch.next_pos), jax.random.key(seed)
+        return first_logits, cache, self._attend_bucket(S + max_new, T1)
+
+    def run_chunk_prefill(self, cache, batch: PreparedBatch, keep_len, *, max_new: int):
+        """Prefill a continuation chunk into an existing cache (see continue_generate
+        for semantics). Returns (first_logits, cache, attend) where attend is the
+        STATIC decode read span for the stage's final extent (run_decode's attend=)."""
+        cfg = self.cfg
+        B, S = batch.input_ids.shape
+        n_patches = batch.pixel_values.shape[0] if batch.pixel_values is not None else 0
+        # Chunk-prefill attention path: at the wave shape (B=64/S=384/T=1536) the
+        # Pallas causal kernel beats XLA's masked attention 4.8 vs 8.2 ms/layer-call
+        # (probe_chunk_prefill, r4) — use flash for big shapes. Small shapes (engine
+        # trickle admissions) keep XLA (measured winner there). int8 cache ALWAYS
+        # takes flash: the XLA path materializes a dequantized bf16 copy of the live
+        # KV per layer (~3.6 GB extra HBM traffic per pass at 3B/B=64).
+        quant = jnp.dtype(self.cache_dtype) == jnp.int8
+        big = B * S * self.max_cache_len > 16 * 768 * 1536
+        # target cache rows for this stage: keep + chunk + new tokens, bucketed.
+        # Grown inside the chunk-prefill program (see _chunk_prefill grow_to) — only
+        # reachable from a right_size_cache=True stage-1 cache; the default path
+        # allocates full-size up front and right-sizes READS via attend_len instead.
+        T_old = cache.k[0].shape[2]
+        keep_host = keep_len if isinstance(keep_len, np.ndarray) else np.asarray(keep_len)
+        need = int(keep_host.max()) + S + max_new
+        T2 = T_old
+        if need > T_old:
+            T2 = self.max_cache_len
+            for b in DEFAULT_CACHE_BUCKETS:
+                if need <= b <= self.max_cache_len:
+                    T2 = b
+                    break
+            T2 = max(T2, T_old)
+        win_mode = int(batch.vision_meta.get("win_mode", 0)) if batch.vision_meta else 0
+        key = ("chunk", B, S, n_patches, T_old, T2, win_mode)
+        if key not in self._prefill_fns:
+            self._prefill_fns[key] = jax.jit(
+                functools.partial(self._chunk_prefill, use_flash=quant or big,
+                                  grow_to=T2, win_mode=win_mode),
+                # a grown cache changes shape, so the input can't alias the output
+                # (donating anyway emits a per-layer warning; the buffer is freed
+                # after its last use either way)
+                donate_argnums=(7,) if T2 == T_old else (),
+            )
+        chunk_prefill = self._prefill_fns[key]
+        meta = None
+        if batch.vision_meta is not None:
+            meta = {k: jnp.asarray(v) for k, v in batch.vision_meta.items() if k != "win_mode"}
+        pv = jnp.asarray(batch.pixel_values) if batch.pixel_values is not None else None
+        first_logits, cache = chunk_prefill(
+            self.params, jnp.asarray(batch.input_ids), jnp.asarray(batch.lengths),
+            jnp.asarray(keep_len, jnp.int32) if not isinstance(keep_len, jnp.ndarray) else keep_len,
+            jnp.asarray(batch.position_ids), pv, meta, cache,
+        )
+        return first_logits, cache, self._attend_bucket(need, T2)
+
+    def run_decode(self, first_logits, cache, next_pos, gen: GenerationConfig, *,
+                   seed: int = 0, attend: Optional[int] = None, done0=None):
+        """Run the while-loop decode program. Returns (tokens_device (B, max_new),
+        cache). attend: STATIC prefix read span (see _attend_bucket); done0: rows
+        already finished (stay inert)."""
+        B = first_logits.shape[0]
+        stop_tokens = (self.cfg.tokens.eos, self.cfg.tokens.endoftext)
+        dc_key = (B, gen.max_new_tokens, gen.temperature, gen.top_p, stop_tokens, attend)
+        if dc_key not in self._decode_fns:
+            self._decode_fns[dc_key] = jax.jit(
+                functools.partial(
+                    self._decode_loop,
+                    max_new=gen.max_new_tokens,
+                    temperature=gen.temperature,
+                    top_p=gen.top_p,
+                    stop_tokens=stop_tokens,
+                    attend_len=attend,
+                )
+            )
+        if done0 is None:  # constant arg structure: one trace per dc_key
+            done0 = jnp.zeros((B,), jnp.bool_)
+        return self._decode_fns[dc_key](
+            self.params, first_logits, cache, jnp.asarray(next_pos),
+            jax.random.key(seed), done0,
+        )
+
+    def run_decode_pair(self, a, b, *, steps: int, temperature: float = 0.0,
+                        top_p: float = 1.0, seed: int = 0):
+        """Co-batched decode of two stages sharing one dense pass per step (see
+        _decode_loop_pair / decoder_forward_pair): the per-step weight stream is read
+        once for both groups.
+
+        a, b: (first_logits, cache, next_pos, attend, done0-or-None) per group.
+        Returns (buf_a, done_a, next_logits_a, cache_a, buf_b, cache_b): group a
+        resumes its remaining tokens via run_decode(next_logits_a, cache_a,
+        next_pos + steps, ..., done0=done_a)."""
+        logits_a, cache_a, pos_a, attend_a, done0_a = a
+        logits_b, cache_b, pos_b, attend_b, done0_b = b
+        stop_tokens = (self.cfg.tokens.eos, self.cfg.tokens.endoftext)
+        Ba, Bb = logits_a.shape[0], logits_b.shape[0]
+        if done0_a is None:  # constant arg structure: one trace per program key
+            done0_a = jnp.zeros((Ba,), jnp.bool_)
+        if done0_b is None:
+            done0_b = jnp.zeros((Bb,), jnp.bool_)
+        Ta, Tb = cache_a.k[0].shape[2], cache_b.k[0].shape[2]
+        key = ("pair", Ba, Bb, Ta, Tb, steps, temperature, top_p, stop_tokens,
+               attend_a, attend_b)
+        if key not in self._decode_fns:
+            self._decode_fns[key] = jax.jit(
+                functools.partial(
+                    self._decode_loop_pair,
+                    steps=steps, temperature=temperature, top_p=top_p,
+                    stop_tokens=stop_tokens, attend_a=attend_a, attend_b=attend_b,
+                )
+            )
+        return self._decode_fns[key](
+            self.params, logits_a, cache_a, jnp.asarray(pos_a),
+            logits_b, cache_b, jnp.asarray(pos_b), jax.random.key(seed),
+            done0_a, done0_b,
+        )
+
+    def continue_generate(
+        self,
+        cache,
+        batch: PreparedBatch,
+        keep_len: np.ndarray,
+        gen: GenerationConfig = GenerationConfig(),
+        *,
+        seed: int = 0,
+        return_cache: bool = False,
+        inert_mask: Optional[np.ndarray] = None,
+        block: bool = True,
+    ):
+        """Continue generation from a prior stage's cache: truncate each row's cache to
+        keep_len[b] (dropping e.g. the <answer> tail), prefill only the continuation
+        chunk (stage-2 vision tokens), then decode.
+
+        This is the two-stage prefix-reuse optimization: the reference re-runs the
+        full stitched prompt through prefill (grpo_trainer.py:611, infer.py:247); here
+        stage 2 prefills ~300 tokens instead of ~1200.
+
+        block=False: dispatch-only — returns (tokens_device, cache) WITHOUT the
+        blocking readback (same contract as generate(block=False)): the caller issues
+        tokens_device.copy_to_host_async() and materializes later, so the post-compute
+        readback round trip rides under other work instead of serializing each wave."""
+        B, S = batch.input_ids.shape
+        import os
+        import time
+
+        timing = os.environ.get("ZOOMEARTH_GEN_TIMING") == "1"
+        t0 = time.time()
+        first_logits, cache, attend = self.run_chunk_prefill(
+            cache, batch, keep_len, max_new=gen.max_new_tokens
+        )
+        if timing:
+            np.asarray(first_logits[0, :1])  # blocking readback: prefill wall time
+            t2 = time.time()
+        done0 = jnp.asarray(inert_mask, bool) if inert_mask is not None else None
+        tokens, cache = self.run_decode(
+            first_logits, cache, batch.next_pos, gen, seed=seed, attend=attend,
+            done0=done0,
+        )
+        if not block:
+            return tokens, cache
+        # register the d2h copy at dispatch time: it fires the moment the decode loop
+        # completes on device. Issuing it only inside np.asarray (i.e. after blocking
+        # on compute) costs a full extra host->device round trip per call on remote
+        # tunnels (measured ~1.5 s on axon for a 30 KB buffer).
+        tokens.copy_to_host_async()
+        tokens = np.asarray(tokens)
+        if timing:
+            import sys
+
+            print(f"    [gen2] chunk_prefill {t2 - t0:.2f}s "
+                  f"| decode {time.time() - t2:.2f}s", file=sys.stderr)
+        out = self.trim_generated(tokens)
+        if return_cache:
+            return out, cache
+        return out
+
+    # -- public API ---------------------------------------------------------
+
+    def generate(
+        self,
+        batch: PreparedBatch,
+        gen: GenerationConfig = GenerationConfig(),
+        *,
+        seed: int = 0,
+        return_cache: bool = False,
+        block: bool = True,
+    ):
+        """Run prefill + decode. Returns list of generated token lists (stop token
+        excluded), right-trimmed.
+
+        block=False: dispatch-only — returns (tokens_device, cache) WITHOUT the
+        blocking readback; call trim_generated(np.asarray(tokens_device)) later.
+        Lets a driver software-pipeline waves: dispatch wave n's generation, then do
+        wave n-1's host work (stage-2 crops) while the device runs."""
+        B, S = batch.input_ids.shape
+        if S + gen.max_new_tokens > self.max_cache_len:
+            raise ValueError(
+                f"prompt bucket ({S}) + max_new_tokens ({gen.max_new_tokens}) exceeds "
+                f"max_cache_len ({self.max_cache_len})"
+            )
+        first_logits, cache, attend = self.run_prefill(batch, max_new=gen.max_new_tokens)
+        tokens, cache = self.run_decode(
+            first_logits, cache, batch.next_pos, gen, seed=seed, attend=attend
         )
         if not block:
             return tokens, cache
