@@ -306,3 +306,23 @@ def test_pair_decode_token_identity(hf_model):
     )
     full = np.concatenate([np.asarray(buf_a), np.asarray(rest)], axis=1)
     assert g.trim_generated(full) == ref_a
+
+
+def test_pair_decode_int8_kv(hf_model):
+    """Pair decode over int8 KV caches (decode_attention_q8 inside
+    _decode_write_attend) matches the solo int8-KV decode."""
+    params = P.convert_hf_state_dict(hf_model.state_dict(), CFG, dtype="float32")
+    g = Generator(params, CFG, max_cache_len=256, cache_dtype="int8")
+    ids, pv, grid = _image_seq((1, 4, 4), seed=51)
+    batch = prepare_batch(CFG, [ids], [[(pv, grid)]],
+                          length_buckets=(64,), patch_buckets=(16,))
+    ref = g.generate(batch, GenerationConfig(max_new_tokens=6))
+    la, ca, aa = g.run_prefill(batch, max_new=6)
+    lb, cb, ab = g.run_prefill(batch, max_new=6)
+    buf_a, done_a, _, _, buf_b, _ = g.run_decode_pair(
+        (la, ca, batch.next_pos, aa, None),
+        (lb, cb, batch.next_pos, ab, None),
+        steps=6,
+    )
+    assert g.trim_generated(np.asarray(buf_a)) == ref
+    assert g.trim_generated(np.asarray(buf_b)) == ref
