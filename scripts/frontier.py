@@ -23,13 +23,14 @@ CONFIGS = [
     ("wave-48-lat", {"BENCH_BATCH": "48", "BENCH_PIPELINE": "0"}),
     ("wave-64-lat", {"BENCH_BATCH": "64", "BENCH_PIPELINE": "0"}),
     # big batches: weights amortize (decode floor 4.2 ms/step is batch-independent);
-    # right-sized per-stage caches (r4) shrink the footprint that OOM'd 96 in r3
+    # split-row prefill + attend_len reads (r4) shrink the footprint that OOM'd 96
     ("wave-96-lat", {"BENCH_BATCH": "96", "BENCH_PIPELINE": "0"}),
-    ("wave-128-lat", {"BENCH_BATCH": "128", "BENCH_PIPELINE": "0"}),
-    # throughput-optimized: software-pipelined waves (two resident KV caches)
-    ("wave-48-pipelined", {"BENCH_BATCH": "48"}),  # the shipping default
-    ("wave-64-pipelined", {"BENCH_BATCH": "64"}),
-    ("wave-96-pipelined", {"BENCH_BATCH": "96"}),
+    # throughput-optimized: PAIR-pipelined waves (stage-1 decode of wave n co-batched
+    # with stage-2 decode of wave n-1; two resident KV caches)
+    ("wave-48-pair", {"BENCH_BATCH": "48"}),
+    ("wave-64-pair", {"BENCH_BATCH": "64"}),  # the shipping default candidate
+    # A/B: plain pipelining without the pair co-batch (isolates the pair gain)
+    ("wave-48-pipelined", {"BENCH_BATCH": "48", "BENCH_PAIR": "0"}),
     # production continuous-batching engine (per-episode latencies, slot backfill)
     ("engine-64", {"BENCH_BATCH": "64", "BENCH_MODE": "engine"}),
 ]
