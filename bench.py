@@ -262,16 +262,64 @@ def main():
 
     stage1_embeds = _embed_tiles()  # (sum merged tokens, E) in tile order
 
+    _tok_hi = min(100000, cfg.text.vocab_size - 16)
+
+    # BENCH_PREFIX_KV=1 (pair mode only): per-tile KV-PREFIX cache for the
+    # [system + image] span. The reference prompt layout (src/eval/infer.py:180-184)
+    # puts the image directly after a fixed system prefix and BEFORE the question, so
+    # that span's KV is identical for every one of the image's ~10.7 LRS-GRO
+    # questions — exactly what vLLM's enable_prefix_caching reuses, and what the
+    # serving engine's image-block prefix pool already does. Stage-1 prefill then
+    # processes only the [question + shared instruction] chunk (~384 vs ~768 bucket).
+    PREFIX_KV = os.environ.get("BENCH_PREFIX_KV", "0") == "1" and _PIPELINE
+    if PREFIX_KV:
+        import dataclasses
+
+        from zoomearth_tpu.runtime.generate import prepare_continuation
+
+        sys_ids = [tok.im_start] + list(rng.integers(100, _tok_hi, size=8))
+        instr_ids = list(rng.integers(100, _tok_hi, size=330))  # FIXED across episodes
+        pfx_lists, pfx_imgs = [], []
+        for pv, grid in stage1_prepped:
+            n_img = (grid[0] * grid[1] * grid[2]) // cfg.vision.merge_unit
+            pfx_lists.append(sys_ids + [tok.vision_start] + [tok.image_pad] * n_img
+                             + [tok.vision_end])
+            pfx_imgs.append([(pv, grid)])
+        pb = prepare_batch(cfg, pfx_lists, pfx_imgs)
+        pb = dataclasses.replace(pb, pixel_values=stage1_embeds, vision_meta=None)
+        # holder Generator sized to the prefix bucket: its prefill writes a small
+        # (B, Hkv, 384, D) tree that stays resident; each wave's stage-1 chunk-prefill
+        # grows a COPY straight to the episode's final size (holder never donated)
+        gen_prefix = Generator(params, cfg, max_cache_len=pb.input_ids.shape[1],
+                               cache_dtype=cache_dtype)
+        _, prefix_cache, _ = gen_prefix.run_prefill(pb, max_new=0)
+        prefix_keep = np.asarray(pb.lengths, np.int32)
+        prefix_starts = np.asarray(pb.next_pos, np.int32)
+        print(f"prefix KV holder: {len(pfx_lists)} tiles x {int(pb.lengths[0])} tokens "
+              f"(bucket {pb.input_ids.shape[1]})", file=sys.stderr)
+
     def build_stage1(_wave):
         import dataclasses
 
+        if PREFIX_KV:
+            # only the per-question suffix: [question(20) + shared instruction(330)]
+            chunks = [list(rng.integers(100, _tok_hi, size=20)) + instr_ids
+                      for _ in range(BATCH)]
+            bc = prepare_continuation(cfg, chunks, [[] for _ in range(BATCH)],
+                                      prefix_starts)
+            bc = dataclasses.replace(
+                bc,
+                input_ids=jax.device_put(bc.input_ids),
+                position_ids=jax.device_put(bc.position_ids),
+            )
+            return bc, None, None
         token_lists, images = [], []
         for pv, grid in stage1_prepped:
             n_img = (grid[0] * grid[1] * grid[2]) // cfg.vision.merge_unit
             ids = (
-                [tok.im_start] + list(rng.integers(100, min(100000, cfg.text.vocab_size - 16), size=20))
+                [tok.im_start] + list(rng.integers(100, _tok_hi, size=20))
                 + [tok.vision_start] + [tok.image_pad] * n_img + [tok.vision_end]
-                + list(rng.integers(100, min(100000, cfg.text.vocab_size - 16), size=350))
+                + list(rng.integers(100, _tok_hi, size=350))
             )
             token_lists.append(ids)
             images.append([(pv, grid)])
@@ -289,7 +337,7 @@ def main():
         )
         return b, token_lists, images
 
-    def build_stage2_chunks(out1_tokens, b1):
+    def build_stage2_chunks(out1_tokens, base_lengths, base_next_pos):
         """Continuation chunks: ONLY the crop's vision tokens (stage-1 prompt +
         completion stay in the KV cache — the prefix-reuse optimization).
 
@@ -313,8 +361,8 @@ def main():
             chunks.append([tok.vision_start] + [tok.image_pad] * n2 + [tok.vision_end])
             chunk_imgs.append([(pv2, grid2)])
             kept = len(out1_tokens[i])
-            keep.append(int(b1.lengths[i]) + kept)
-            starts.append(int(b1.next_pos[i]) + kept)
+            keep.append(int(base_lengths[i]) + kept)
+            starts.append(int(base_next_pos[i]) + kept)
         bc = prepare_continuation(cfg, chunks, chunk_imgs, starts)
         # device-side concat + bucket pad of the already-uploaded per-image buffers
         n_pad = bc.pixel_values.shape[0] - sum(p.shape[0] for p in dev_pvs)
@@ -338,7 +386,7 @@ def main():
         t0 = time.time()
         out1, cache = gen.generate(b1, g1, seed=seed, return_cache=True)
         t1 = time.time()
-        bc, keep = build_stage2_chunks(out1, b1)
+        bc, keep = build_stage2_chunks(out1, b1.lengths, b1.next_pos)
         t2 = time.time()
         out2 = gen.continue_generate(cache, bc, keep, g2, seed=seed + 1)
         if timing:
@@ -353,7 +401,7 @@ def main():
         t0 = time.time()
         out1 = gen.trim_generated(np.asarray(toks_dev))
         t1 = time.time()
-        bc, keep = build_stage2_chunks(out1, b1)
+        bc, keep = build_stage2_chunks(out1, b1.lengths, b1.next_pos)
         t2 = time.time()
         out2 = gen.continue_generate(cache, bc, keep, g2, seed=seed)
         if timing:
@@ -426,11 +474,11 @@ def main():
             return (dlogits, dcache, dpos, attend, ddone)
 
         def stage2_group(pend):
-            pb1, ptoks, pcache = pend
+            base_lengths, base_next, ptoks, pcache = pend
             t0 = time.time()
             out1_prev = gen.trim_generated(np.asarray(ptoks))  # async copy fired at dispatch
             t1 = time.time()
-            bc, keep = build_stage2_chunks(out1_prev, pb1)
+            bc, keep = build_stage2_chunks(out1_prev, base_lengths, base_next)
             t2 = time.time()
             logits2, cache2, attend2 = gen.run_chunk_prefill(
                 pcache, bc, keep, max_new=STAGE2_NEW
@@ -444,7 +492,17 @@ def main():
             prebuilt = next(loader)
             b1 = prebuilt[0]
             dispatch_t.append(time.time())
-            logits1, cache1, attend1 = gen.run_prefill(b1, max_new=STAGE1_NEW)
+            if PREFIX_KV:
+                # stage-1 prefill = chunk-prefill of [question + instruction] into a
+                # grown COPY of the per-tile [system + image] prefix KV
+                logits1, cache1, attend1 = gen.run_chunk_prefill(
+                    prefix_cache, b1, prefix_keep, max_new=STAGE1_NEW,
+                    grow_to=gen.max_cache_len,
+                )
+                base_lengths = prefix_keep + np.asarray(b1.lengths)
+            else:
+                logits1, cache1, attend1 = gen.run_prefill(b1, max_new=STAGE1_NEW)
+                base_lengths = np.asarray(b1.lengths)
             attend1_seen = attend1
             group_b = stage2_group(pending) if pending is not None else dummy_group(None)
             buf_a, done_a, la2, cache1, buf_b, _ = gen.run_decode_pair(
@@ -461,7 +519,7 @@ def main():
             if pending is not None:
                 np.asarray(buf_b)  # wave w-1's stage-2 tokens -> episode complete
                 complete_t.append(time.time())
-            pending = (b1, toks_dev, cache1)
+            pending = (base_lengths, np.asarray(b1.next_pos), toks_dev, cache1)
         # drain: the last wave's stage-2 pairs with an inert dummy stage-1 group
         group_b = stage2_group(pending)
         _, _, _, _, buf_b, _ = gen.run_decode_pair(

@@ -166,3 +166,69 @@ def test_episode_reuse_cache_smoke(monkeypatch):
     # verbatim — equivalent for real model text, divergent for random-token mojibake.
     # Strict continuation-vs-full-prefill token parity is covered by the tests above.
     assert isinstance(r_reuse[0].stage2, str) and r_reuse[0].stage2 != ""
+
+
+def test_text_chunk_after_image_prefix_matches_full_prefill():
+    """The wave bench's prefix-KV mode: prefill [sys + image] once, then chunk-prefill
+    only the [question + instruction] text (grow_to the full cache) — tokens must be
+    identical to a one-shot prefill of the concatenated prompt (reference layout
+    infer.py:180-184 puts the image before the question, making [sys+image] a shared
+    per-image prefix; vLLM's enable_prefix_caching reuses exactly this span)."""
+    import numpy as np
+
+    from zoomearth_tpu.runtime.generate import (
+        GenerationConfig,
+        Generator,
+        prepare_batch,
+        prepare_continuation,
+    )
+
+    import jax as _jax
+
+    params = init_vlm_params(_jax.random.key(0), CFG)
+    gen = Generator(params, CFG, max_cache_len=256, cache_dtype="float32")
+    tok = CFG.tokens
+    rng = np.random.default_rng(77)
+    grid = (1, 4, 4)
+    n_img = (grid[0] * grid[1] * grid[2]) // CFG.vision.merge_unit
+    pv = rng.standard_normal((grid[0] * grid[1] * grid[2], CFG.vision.patch_dim)).astype(np.float32)
+    sys_ids = [tok.im_start] + list(rng.integers(1, 300, size=3))
+    prefix = sys_ids + [tok.vision_start] + [tok.image_pad] * n_img + [tok.vision_end]
+    questions = [list(rng.integers(1, 300, size=5 + i)) for i in range(2)]
+    instr = list(rng.integers(1, 300, size=7))
+
+    # reference: one-shot prefill of the full prompts
+    full = prepare_batch(CFG, [prefix + q + instr for q in questions],
+                         [[(pv, grid)], [(pv, grid)]],
+                         length_buckets=(64,), patch_buckets=(32,))
+    ref = gen.generate(full, GenerationConfig(max_new_tokens=8))
+
+    # prefix-KV path: small holder generator + text-only chunk into a grown copy
+    gen_pfx = Generator(params, CFG, max_cache_len=32, cache_dtype="float32")
+    pb = prepare_batch(CFG, [prefix, prefix], [[(pv, grid)], [(pv, grid)]],
+                       length_buckets=(32,), patch_buckets=(32,))
+    _, holder, _ = gen_pfx.run_prefill(pb, max_new=0)
+    bc = prepare_continuation(CFG, [q + instr for q in questions], [[], []],
+                              np.asarray(pb.next_pos), length_buckets=(32,))
+    logits, cache, attend = gen.run_chunk_prefill(
+        holder, bc, np.asarray(pb.lengths, np.int32), max_new=8,
+        grow_to=gen.max_cache_len,
+    )
+    toks, _ = gen.run_decode(logits, cache, bc.next_pos,
+                             GenerationConfig(max_new_tokens=8), attend=attend)
+    assert gen.trim_generated(np.asarray(toks)) == ref
+    # a second wave reuses the UNTOUCHED holder with a different question
+    q2 = [list(rng.integers(1, 300, size=9)), list(rng.integers(1, 300, size=4))]
+    full2 = prepare_batch(CFG, [prefix + q + instr for q in q2],
+                          [[(pv, grid)], [(pv, grid)]],
+                          length_buckets=(64,), patch_buckets=(32,))
+    ref2 = gen.generate(full2, GenerationConfig(max_new_tokens=8))
+    bc2 = prepare_continuation(CFG, [q + instr for q in q2], [[], []],
+                               np.asarray(pb.next_pos), length_buckets=(32,))
+    logits2, cache2, attend2 = gen.run_chunk_prefill(
+        holder, bc2, np.asarray(pb.lengths, np.int32), max_new=8,
+        grow_to=gen.max_cache_len,
+    )
+    toks2, _ = gen.run_decode(logits2, cache2, bc2.next_pos,
+                              GenerationConfig(max_new_tokens=8), attend=attend2)
+    assert gen.trim_generated(np.asarray(toks2)) == ref2

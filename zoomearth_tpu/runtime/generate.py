@@ -518,10 +518,17 @@ class Generator:
             )
         return first_logits, cache, self._attend_bucket(S + max_new, T1)
 
-    def run_chunk_prefill(self, cache, batch: PreparedBatch, keep_len, *, max_new: int):
+    def run_chunk_prefill(self, cache, batch: PreparedBatch, keep_len, *, max_new: int,
+                          grow_to: Optional[int] = None):
         """Prefill a continuation chunk into an existing cache (see continue_generate
         for semantics). Returns (first_logits, cache, attend) where attend is the
-        STATIC decode read span for the stage's final extent (run_decode's attend=)."""
+        STATIC decode read span for the stage's final extent (run_decode's attend=).
+
+        grow_to: override the grown cache size (default: bucket of the stage's own
+        need). A driver seeding a stage from a SHARED prefix-KV holder (e.g. the
+        per-image [system+image] span reused across questions) grows straight to the
+        episode's final size so later stages need no further growth; the holder is
+        never donated (shape change) and survives for the next wave."""
         cfg = self.cfg
         B, S = batch.input_ids.shape
         n_patches = batch.pixel_values.shape[0] if batch.pixel_values is not None else 0
@@ -548,6 +555,8 @@ class Generator:
                     T2 = b
                     break
             T2 = max(T2, T_old)
+        if grow_to is not None:
+            T2 = max(min(grow_to, self.max_cache_len), T2)
         win_mode = int(batch.vision_meta.get("win_mode", 0)) if batch.vision_meta else 0
         key = ("chunk", B, S, n_patches, T_old, T2, win_mode)
         if key not in self._prefill_fns:
