@@ -29,6 +29,9 @@ CONFIGS = [
     # with stage-2 decode of wave n-1; two resident KV caches)
     ("wave-48-pair", {"BENCH_BATCH": "48"}),
     ("wave-64-pair", {"BENCH_BATCH": "64"}),  # the shipping default candidate
+    # + per-image [sys+image] KV-prefix cache (reference image-first prompt layout)
+    ("wave-48-pair-prefix", {"BENCH_BATCH": "48", "BENCH_PREFIX_KV": "1"}),
+    ("wave-64-pair-prefix", {"BENCH_BATCH": "64", "BENCH_PREFIX_KV": "1"}),
     # A/B: plain pipelining without the pair co-batch (isolates the pair gain)
     ("wave-48-pipelined", {"BENCH_BATCH": "48", "BENCH_PAIR": "0"}),
     # production continuous-batching engine (per-episode latencies, slot backfill)
