@@ -260,3 +260,32 @@ def test_prefix_cache_token_identity_int8(params):
     assert eng_hit.stats["prefix_hits"] == 2
     _, cold_outs = run(with_prefix=False)
     assert hit_outs == cold_outs
+
+
+def test_decode_attend_bucketing_token_identity(params):
+    """Attend-span bucketing (decode reads only a static cache prefix covering the
+    live rows' extents): an engine whose allocation (512) exceeds the rows' needs
+    must produce tokens identical to one with bucketing disabled."""
+    def run(attend_buckets):
+        eng = ServingEngine(params, CFG, max_slots=2, max_seq_len=512,
+                            cache_dtype="float32", decode_chunk=4,
+                            length_buckets=(64,), patch_buckets=(0, 16))
+        if attend_buckets is not None:
+            eng.decode_attend_buckets = attend_buckets
+        outs = {}
+        for i in range(3):
+            ids, imgs = _prompt(60 + i, n_text=6, grid=(1, 4, 4) if i % 2 else None)
+            eng.submit(Request(request_id=f"a{i}", token_ids=ids, images=imgs,
+                               max_tokens=8, temperature=0.0))
+        eng.run_until_idle()
+        for i in range(3):
+            outs[i] = eng.get_completion(f"a{i}", timeout=5).token_ids
+        return outs, eng
+
+    ref, _ = run(())  # bucketing disabled: full-span reads
+    got, eng = run((64, 128, 256))
+    assert got == ref
+    # the bucketed engine really compiled a prefix-read decode program
+    assert any(a is not None for (_, a) in eng._decode_compact_fns) or any(
+        a is not None for a in eng._decode_full_fns
+    ), (list(eng._decode_compact_fns), list(eng._decode_full_fns))

@@ -198,9 +198,15 @@ class ServingEngine:
         self._key = jax.random.key(seed)
         self._stop_tokens = (cfg.tokens.eos, cfg.tokens.endoftext)
         self._prefill_fns: Dict[Tuple, Callable] = {}
-        self._decode_fn = jax.jit(
-            partial(self._decode_steps, n_steps=decode_chunk), donate_argnums=(0,)
+        # Decode attend-span bucketing: attention reads only a STATIC prefix slice of
+        # the cache (decoder attend_len) covering the live rows' max extent + chunk —
+        # e.g. stage-1 decode of a zoom episode never touches rows past ~1024 of a
+        # 2048 allocation. One compiled program per (row bucket, attend) pair; () to
+        # disable. None (full span) is always available as the fallback.
+        self.decode_attend_buckets = tuple(
+            b for b in (512, 1024, 1536) if b < max_seq_len
         )
+        self._decode_full_fns: Dict[Optional[int], Callable] = {}
         # Decode row-compaction (vLLM's "step only live seqs" property): when the
         # live-slot count fits a bucket < max_slots, the decode chunk gathers those
         # rows' cache, scans at batch R, and scatters back — cache-read bytes scale
@@ -213,7 +219,7 @@ class ServingEngine:
                 -(-(3 * max_slots) // 4 // 4) * 4 if max_slots >= 16 else max(1, max_slots // 2),
             ) if 0 < b < max_slots
         }))
-        self._decode_compact_fns: Dict[int, Callable] = {}
+        self._decode_compact_fns: Dict[Tuple[int, Optional[int]], Callable] = {}
         self.prefix_store: Dict[str, _PrefixEntry] = {}
         self.max_prefixes = 64  # pool rows (~12 MB/row at 3B scale / 512-token cap)
         self.prefix_cap = 512  # longest cacheable prefix span (tokens)
@@ -380,7 +386,38 @@ class ServingEngine:
             vscale=new_vs if new_vs is not None else cache.vscale,
         )
 
-    def _decode_steps(self, cache, cur_tokens, next_pos, active, temps, key, params, *, n_steps):
+    def _get_decode_fn(self, attend):
+        fn = self._decode_full_fns.get(attend)
+        if fn is None:
+            fn = self._decode_full_fns[attend] = jax.jit(
+                partial(self._decode_steps, n_steps=self.decode_chunk, attend_len=attend),
+                donate_argnums=(0,),
+            )
+        return fn
+
+    def _get_decode_compact_fn(self, R, attend):
+        fn = self._decode_compact_fns.get((R, attend))
+        if fn is None:
+            fn = self._decode_compact_fns[(R, attend)] = jax.jit(
+                partial(self._decode_steps_compact, n_steps=self.decode_chunk,
+                        attend_len=attend),
+                donate_argnums=(0,),
+            )
+        return fn
+
+    def _attend_for(self, live):
+        """STATIC attention span bucket covering the live rows' cache extents after
+        this chunk (prompt + generated so far + chunk + slack), or None (full span).
+        Host-side slot state is the bound; held/idle rows are not stepped (compact)
+        or produce ignored garbage (full branch), so only live rows constrain it."""
+        if not self.decode_attend_buckets or not live:
+            return None
+        need = max(
+            self.slots[i].prompt_len + len(self.slots[i].generated) for i in live
+        ) + self.decode_chunk + 2
+        return next((a for a in self.decode_attend_buckets if need <= a), None)
+
+    def _decode_steps(self, cache, cur_tokens, next_pos, active, temps, key, params, *, n_steps, attend_len=None):
         """Run n_steps decode for all slots; inactive slots write garbage into their own
         cache region only. Returns (cache, cur_tokens, next_pos, tokens (B, n_steps))."""
         B = self.max_slots
@@ -393,6 +430,7 @@ class ServingEngine:
             logits, cache = vlm_forward(
                 params, self.cfg, cur[:, None], pos3,
                 attn_positions=cache.length[:, None], cache=cache,
+                attend_len=attend_len,
             )
             # held/idle rows must not grow their length (their garbage token writes
             # would eventually clamp at the cache tail and shadow valid kv)
@@ -412,7 +450,8 @@ class ServingEngine:
         return cache, cur, pos, toks.T  # (B, n_steps)
 
     def _decode_steps_compact(
-        self, cache, slot_idx, cur_tokens, next_pos, active, temps, key, params, *, n_steps
+        self, cache, slot_idx, cur_tokens, next_pos, active, temps, key, params, *,
+        n_steps, attend_len=None
     ):
         """Row-compacted decode chunk: gather the R active slots' cache rows ONCE,
         run the n_steps scan at batch R, scatter back (same slot_idx pattern as
@@ -451,6 +490,7 @@ class ServingEngine:
             logits, gcache = vlm_forward(
                 params, self.cfg, cur[:, None], pos3,
                 attn_positions=gcache.length[:, None], cache=gcache,
+                attend_len=attend_len,
             )
             gcache = gcache._replace(length=jnp.where(active, gcache.length, old_len))
             logits = logits[:, 0]
@@ -537,29 +577,27 @@ class ServingEngine:
                         self.cache, self.cur_tokens, self.next_pos,
                         jnp.zeros((RB,), jnp.int32), jnp.zeros((RB,), jnp.float32), sub,
                     )
-        if progress:
-            progress("decode")
-        self._key, sub = jax.random.split(self._key)
-        self.cache, self.cur_tokens, self.next_pos, _ = self._decode_fn(
-            self.cache, self.cur_tokens, self.next_pos,
-            jnp.zeros((self.max_slots,), bool), jnp.zeros((self.max_slots,), jnp.float32),
-            sub, self.params,
-        )
-        for R in self.decode_row_buckets:
+        attends = list(self.decode_attend_buckets) + [None]
+        for attend in attends:
             if progress:
-                progress(f"decode_compact[{R}]")
-            if R not in self._decode_compact_fns:
-                self._decode_compact_fns[R] = jax.jit(
-                    partial(self._decode_steps_compact, n_steps=self.decode_chunk),
-                    donate_argnums=(0,),
-                )
+                progress(f"decode[attend={attend}]")
             self._key, sub = jax.random.split(self._key)
-            # all rows padded (slot_idx == max_slots): gathers clamp, scatters drop
-            self.cache, self.cur_tokens, self.next_pos, _ = self._decode_compact_fns[R](
-                self.cache, jnp.full((R,), self.max_slots, jnp.int32),
-                self.cur_tokens, self.next_pos,
-                jnp.zeros((R,), bool), jnp.zeros((R,), jnp.float32), sub, self.params,
+            self.cache, self.cur_tokens, self.next_pos, _ = self._get_decode_fn(attend)(
+                self.cache, self.cur_tokens, self.next_pos,
+                jnp.zeros((self.max_slots,), bool), jnp.zeros((self.max_slots,), jnp.float32),
+                sub, self.params,
             )
+        for R in self.decode_row_buckets:
+            for attend in attends:
+                if progress:
+                    progress(f"decode_compact[{R},attend={attend}]")
+                self._key, sub = jax.random.split(self._key)
+                # all rows padded (slot_idx == max_slots): gathers clamp, scatters drop
+                self.cache, self.cur_tokens, self.next_pos, _ = self._get_decode_compact_fn(R, attend)(
+                    self.cache, jnp.full((R,), self.max_slots, jnp.int32),
+                    self.cur_tokens, self.next_pos,
+                    jnp.zeros((R,), bool), jnp.zeros((R,), jnp.float32), sub, self.params,
+                )
         # prefix programs (apply + harvest at the prefix cap)
         self._ensure_ppool()
         if "apply_prefixes" not in self._prefill_fns:
@@ -1030,12 +1068,7 @@ class ServingEngine:
                 [self.slots[i].request.temperature if self.slots[i].request else 0.0
                  for i in live] + [0.0] * (bucket_R - len(live)), np.float32,
             )
-            fn = self._decode_compact_fns.get(bucket_R)
-            if fn is None:
-                fn = self._decode_compact_fns[bucket_R] = jax.jit(
-                    partial(self._decode_steps_compact, n_steps=self.decode_chunk),
-                    donate_argnums=(0,),
-                )
+            fn = self._get_decode_compact_fn(bucket_R, self._attend_for(live))
             self.cache, self.cur_tokens, self.next_pos, toks_c = fn(
                 self.cache, jnp.asarray(slot_idx), self.cur_tokens, self.next_pos,
                 jnp.asarray(act), jnp.asarray(temps), sub, self.params,
@@ -1047,7 +1080,9 @@ class ServingEngine:
             temps = np.array(
                 [s.request.temperature if s.request else 0.0 for s in self.slots], np.float32
             )
-            self.cache, self.cur_tokens, self.next_pos, toks = self._decode_fn(
+            self.cache, self.cur_tokens, self.next_pos, toks = self._get_decode_fn(
+                self._attend_for(live)
+            )(
                 self.cache, self.cur_tokens, self.next_pos,
                 jnp.asarray(self.active), jnp.asarray(temps), sub, self.params,
             )
