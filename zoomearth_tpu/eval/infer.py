@@ -55,6 +55,7 @@ def run_inference(
     model_id: str = "zoomearth-tpu",
     image_loader=None,
     group_by_image: bool = True,
+    mode: str = "sequential",
 ) -> str:
     """Run the two-stage eval over this rank's shard; returns the output path.
 
@@ -64,7 +65,15 @@ def run_inference(
     group_by_image: process questions about the same tile consecutively (LRS-GRO asks
     ~10.7 questions per ~5000px image, README.md:45-50) so the expensive tile decode is
     amortized by the loader cache below. Output order changes but the scorer keys
-    records by question_id, and per-question results are order-independent."""
+    records by question_id, and per-question results are order-independent.
+
+    mode="pipelined": run the batches as PAIR-PIPELINED waves (agent.episode.
+    run_episodes_pipelined): wave n's stage-1 decode co-batches with wave n-1's
+    stage-2 decode in one program and host work hides under device time — the
+    throughput configuration (same runner the bench measures). Uses cache-reuse
+    stage-2 semantics (kept tokens are the generated ids); eval-parity runs keep
+    the default sequential mode. The last partial batch runs sequentially (wave
+    programs are compiled for one batch size)."""
     if image_loader is None:
         def image_loader(s):
             return Image.open(s.image_path).convert("RGB")
@@ -86,7 +95,33 @@ def run_inference(
         shard = sorted(shard, key=lambda s: s.image_name or "")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as fout:
-        for batch in batched(shard, batch_size):
+        if mode == "pipelined":
+            from ..agent.episode import run_episodes_pipelined
+
+            groups = list(batched(shard, batch_size))
+            full, tail = [g for g in groups if len(g) == batch_size], [
+                g for g in groups if len(g) != batch_size
+            ]
+            if full:
+                # lazy wave loaders: only ~2 waves of full-res tiles live at once
+                waves = [
+                    (lambda g=g: ([s.question for s in g],
+                                  [cached_loader(s) for s in g]))
+                    for g in full
+                ]
+                wave_results = run_episodes_pipelined(
+                    generator, processor, waves,
+                    stage1_max_size=stage1_max_size, gen=gen,
+                )
+                for g, results in zip(full, wave_results):
+                    for s, r in zip(g, results):
+                        fout.write(json.dumps(record_dict(s, r, model_id),
+                                              ensure_ascii=False) + "\n")
+                    fout.flush()
+            remaining = tail
+        else:
+            remaining = batched(shard, batch_size)
+        for batch in remaining:
             images = [cached_loader(s) for s in batch]
             questions = [s.question for s in batch]
             results = run_episodes(
@@ -96,6 +131,7 @@ def run_inference(
                 images,
                 stage1_max_size=stage1_max_size,
                 gen=gen,
+                reuse_cache=(mode == "pipelined"),
             )
             for s, r in zip(batch, results):
                 fout.write(json.dumps(record_dict(s, r, model_id), ensure_ascii=False) + "\n")

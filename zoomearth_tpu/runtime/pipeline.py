@@ -1,0 +1,148 @@
+"""Pair-pipelined two-stage wave runner: the library form of the serving pattern the
+throughput bench ships (bench.py pair mode).
+
+Waves of B two-stage episodes flow through the Generator's composable stages so that
+wave n's stage-1 DECODE and wave n-1's stage-2 DECODE run CO-BATCHED in one program
+(Generator.run_decode_pair / models.decoder.decoder_forward_pair): the per-step weight
+stream (~3 GB at 3B int8) is read once for both stages instead of twice, and all host
+work (stage-1 token readback, crop building, uploads) hides under device time. This is
+vLLM's continuous-batching insight (fold every live sequence into one step — reference
+serving surface README.md:105-112) applied wave-wise, which keeps the few-giant-programs
+property that wave execution needs on dispatch-expensive runtimes.
+
+The caller supplies three hooks; everything device-side is orchestrated here:
+  build_stage1(w) -> PreparedBatch            B-row stage-1 batch for wave w
+  build_stage2(w, out1, base_lengths, base_next_pos)
+      -> (chunk_batch, keep_len, inert_mask | None)   stage-2 continuation for wave w
+  on_complete(w, out1_tokens, out2_tokens)    called as each wave's episode finishes
+
+Stage-1 may optionally start from a shared KV PREFIX (per-image [system+image] span —
+the reference prompt layout, src/eval/infer.py:180-184, puts the image before the
+question, so that span repeats across an image's ~10.7 LRS-GRO questions): pass
+prefix=(holder_cache, keep_len) and make build_stage1 return the [question+instruction]
+continuation chunk (prepare_continuation) instead of a full prompt batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .generate import GenerationConfig, Generator, PreparedBatch
+
+
+@dataclasses.dataclass
+class PairedWaveResult:
+    wave: int
+    out1: list  # per-row stage-1 token lists (trimmed)
+    out2: list  # per-row stage-2 token lists (trimmed; [] for inert rows)
+
+
+def run_paired_waves(
+    gen: Generator,
+    n_waves: int,
+    build_stage1: Callable[[int], PreparedBatch],
+    build_stage2: Callable[[int, list, np.ndarray, np.ndarray], Tuple],
+    *,
+    gen1: GenerationConfig,
+    gen2: GenerationConfig,
+    seed: int = 0,
+    prefix: Optional[Tuple] = None,  # (holder_cache, keep_len (B,)) for prefix-KV stage 1
+    on_complete: Optional[Callable[[int, list, list], None]] = None,
+):
+    """Run n_waves pair-pipelined two-stage waves; returns [PairedWaveResult] unless
+    on_complete consumes them (then returns []).
+
+    All waves must have the SAME batch size B (one compiled program set). The pair
+    decode runs min(gen1, gen2).max_new_tokens joint steps; the longer stage finishes
+    its remaining tokens in a solo loop. Bootstrap and drain use an inert dummy
+    partner (rows start done) so ONE pair program serves every iteration.
+    """
+    if gen2.max_new_tokens > gen1.max_new_tokens:
+        raise ValueError("run_paired_waves pairs stage-2 inside stage-1's decode: "
+                         "gen2.max_new_tokens must be <= gen1.max_new_tokens")
+    if gen1.temperature != gen2.temperature or gen1.top_p != gen2.top_p:
+        raise ValueError("pair decode samples both groups in one program: "
+                         "gen1/gen2 temperature and top_p must match")
+    steps = gen2.max_new_tokens
+    rest1 = gen1.max_new_tokens - steps
+    g_rest1 = dataclasses.replace(gen1, max_new_tokens=rest1)
+
+    results: list = []
+    pending = None  # (wave, base_lengths, base_next_pos, toks_dev, cache1)
+    attend1_last = None
+    B = None
+
+    def dummy_group(b, attend):
+        dcache = gen.new_cache(b)
+        dlogits = jnp.zeros((b, gen.cfg.text.vocab_size), jnp.float32)
+        return (dlogits, dcache, np.zeros((b,), np.int32), attend,
+                jnp.ones((b,), jnp.bool_))
+
+    def stage2_group(pend):
+        w, base_lengths, base_next, toks_dev, cache1 = pend
+        out1 = gen.trim_generated(np.asarray(toks_dev))
+        chunk, keep, inert = build_stage2(w, out1, base_lengths, base_next)
+        logits2, cache2, attend2 = gen.run_chunk_prefill(
+            cache1, chunk, keep, max_new=gen2.max_new_tokens
+        )
+        done0 = jnp.asarray(inert, bool) if inert is not None else None
+        return out1, (logits2, cache2, chunk.next_pos, attend2, done0)
+
+    for w in range(n_waves):
+        b1 = build_stage1(w)
+        if prefix is not None:
+            holder, pkeep = prefix
+            logits1, cache1, attend1 = gen.run_chunk_prefill(
+                holder, b1, pkeep, max_new=gen1.max_new_tokens,
+                grow_to=gen.max_cache_len,
+            )
+            base_lengths = np.asarray(pkeep) + np.asarray(b1.lengths)
+        else:
+            logits1, cache1, attend1 = gen.run_prefill(b1, max_new=gen1.max_new_tokens)
+            base_lengths = np.asarray(b1.lengths)
+        attend1_last = attend1
+        B = logits1.shape[0]
+        if pending is not None:
+            out1_prev, group_b = stage2_group(pending)
+        else:
+            out1_prev, group_b = None, dummy_group(B, None)
+        buf_a, done_a, la2, cache1, buf_b, cache_b2 = gen.run_decode_pair(
+            (logits1, cache1, b1.next_pos, attend1, None), group_b,
+            steps=steps, temperature=gen1.temperature, top_p=gen1.top_p,
+            seed=seed + 2 * w,
+        )
+        if rest1 > 0:
+            rest, cache1 = gen.run_decode(
+                la2, cache1, np.asarray(b1.next_pos) + steps, g_rest1,
+                seed=seed + 2 * w + 1, attend=attend1, done0=done_a,
+            )
+            toks_dev = jnp.concatenate([buf_a, rest], axis=1)
+        else:
+            toks_dev = buf_a
+        toks_dev.copy_to_host_async()
+        if pending is not None:
+            out2_prev = gen.trim_generated(np.asarray(buf_b))
+            pw = pending[0]
+            if on_complete is not None:
+                on_complete(pw, out1_prev, out2_prev)
+            else:
+                results.append(PairedWaveResult(pw, out1_prev, out2_prev))
+        pending = (w, base_lengths, np.asarray(b1.next_pos), toks_dev, cache1)
+    # drain: the last wave's stage-2 pairs with an inert dummy stage-1 group
+    out1_prev, group_b = stage2_group(pending)
+    _, _, _, _, buf_b, _ = gen.run_decode_pair(
+        dummy_group(B, attend1_last), group_b,
+        steps=steps, temperature=gen1.temperature, top_p=gen1.top_p,
+        seed=seed + 2 * n_waves,
+    )
+    out2_prev = gen.trim_generated(np.asarray(buf_b))
+    pw = pending[0]
+    if on_complete is not None:
+        on_complete(pw, out1_prev, out2_prev)
+    else:
+        results.append(PairedWaveResult(pw, out1_prev, out2_prev))
+    return results
