@@ -449,86 +449,43 @@ def main():
 
     pipeline = _PIPELINE
     if pair:
-        # PAIR-pipelined waves (the shipping mode): wave n's stage-1 decode and wave
-        # n-1's stage-2 decode run CO-BATCHED in one program (Generator.run_decode_pair
-        # / decoder_forward_pair) for the first STAGE2_NEW steps — the ~3 GB/step
-        # weight stream is read once for both, saving STAGE2_NEW x ~4.4 ms of HBM
-        # time per wave vs decoding them back to back; stage 1 then finishes its
-        # remaining tokens in a solo loop. Bootstrap and drain use an inert dummy
-        # partner (rows start done) so ONE pair program serves every iteration.
-        from zoomearth_tpu.models.decoder import KVCache
-        from zoomearth_tpu.runtime.generate import GenerationConfig as _GC
+        # PAIR-pipelined waves (the shipping mode), via the LIBRARY runner
+        # (zoomearth_tpu.runtime.pipeline.run_paired_waves — the same code path
+        # eval's run_inference(mode="pipelined") ships): wave n's stage-1 decode and
+        # wave n-1's stage-2 decode run CO-BATCHED in one program for the first
+        # STAGE2_NEW steps — the ~3 GB/step weight stream is read once for both —
+        # then stage 1 finishes its remaining tokens solo. Bootstrap and drain use
+        # an inert dummy partner so ONE pair program serves every iteration.
+        from zoomearth_tpu.runtime.pipeline import run_paired_waves
 
-        g_solo = _GC(max_new_tokens=STAGE1_NEW - STAGE2_NEW, temperature=0.01)
         N = WAVES + MAX_EXTRA + 2  # head iterations absorb the compiles
         loader = iter(PrefetchLoader(range(N), build_stage1, depth=1))
         dispatch_t, complete_t = [], []
-        pending = None  # (b1, stage1 tokens device, cache1) of the previous wave
-        attend1_seen = None
 
-        def dummy_group(attend):
-            dcache = gen.new_cache(BATCH)
-            dlogits = jnp.zeros((BATCH, cfg.text.vocab_size), jnp.float32)
-            dpos = np.zeros((BATCH,), np.int32)
-            ddone = jnp.ones((BATCH,), jnp.bool_)
-            return (dlogits, dcache, dpos, attend, ddone)
+        def hook_stage1(w):
+            return next(loader)[0]
 
-        def stage2_group(pend):
-            base_lengths, base_next, ptoks, pcache = pend
+        def hook_stage2(w, out1, base_lengths, base_next):
+            # base_lengths already includes the prefix span in PREFIX_KV mode
+            # (run_paired_waves adds keep_len to the chunk lengths)
             t0 = time.time()
-            out1_prev = gen.trim_generated(np.asarray(ptoks))  # async copy fired at dispatch
-            t1 = time.time()
-            bc, keep = build_stage2_chunks(out1_prev, base_lengths, base_next)
-            t2 = time.time()
-            logits2, cache2, attend2 = gen.run_chunk_prefill(
-                pcache, bc, keep, max_new=STAGE2_NEW
-            )
+            bc, keep = build_stage2_chunks(out1, base_lengths, base_next)
             if timing:
-                print(f"  [pair] tok-readback {t1 - t0:.2f}s | s2 host {t2 - t1:.2f}s",
-                      file=sys.stderr)
-            return (logits2, cache2, bc.next_pos, attend2, None)
+                print(f"  [pair] s2 host {time.time() - t0:.2f}s", file=sys.stderr)
+            return bc, keep, None
 
-        for w in range(N):
-            prebuilt = next(loader)
-            b1 = prebuilt[0]
-            dispatch_t.append(time.time())
-            if PREFIX_KV:
-                # stage-1 prefill = chunk-prefill of [question + instruction] into a
-                # grown COPY of the per-tile [system + image] prefix KV
-                logits1, cache1, attend1 = gen.run_chunk_prefill(
-                    prefix_cache, b1, prefix_keep, max_new=STAGE1_NEW,
-                    grow_to=gen.max_cache_len,
-                )
-                base_lengths = prefix_keep + np.asarray(b1.lengths)
-            else:
-                logits1, cache1, attend1 = gen.run_prefill(b1, max_new=STAGE1_NEW)
-                base_lengths = np.asarray(b1.lengths)
-            attend1_seen = attend1
-            group_b = stage2_group(pending) if pending is not None else dummy_group(None)
-            buf_a, done_a, la2, cache1, buf_b, _ = gen.run_decode_pair(
-                (logits1, cache1, b1.next_pos, attend1, None), group_b,
-                steps=STAGE2_NEW, temperature=0.01, seed=w + 2,
-            )
-            buf_b.copy_to_host_async()  # fires the moment the pair loop completes
-            rest, cache1 = gen.run_decode(
-                la2, cache1, np.asarray(b1.next_pos) + STAGE2_NEW, g_solo,
-                seed=w + 50, attend=attend1, done0=done_a,
-            )
-            toks_dev = jnp.concatenate([buf_a, rest], axis=1)
-            toks_dev.copy_to_host_async()
-            if pending is not None:
-                np.asarray(buf_b)  # wave w-1's stage-2 tokens -> episode complete
-                complete_t.append(time.time())
-            pending = (base_lengths, np.asarray(b1.next_pos), toks_dev, cache1)
-        # drain: the last wave's stage-2 pairs with an inert dummy stage-1 group
-        group_b = stage2_group(pending)
-        _, _, _, _, buf_b, _ = gen.run_decode_pair(
-            dummy_group(attend1_seen), group_b,
-            steps=STAGE2_NEW, temperature=0.01, seed=N + 2,
+        def hook_complete(w, out1, out2):
+            complete_t.append(time.time())
+
+        g1p = GenerationConfig(max_new_tokens=STAGE1_NEW, temperature=0.01)
+        g2p = GenerationConfig(max_new_tokens=STAGE2_NEW, temperature=0.01)
+        run_paired_waves(
+            gen, N, hook_stage1, hook_stage2,
+            gen1=g1p, gen2=g2p, seed=2,
+            prefix=(prefix_cache, prefix_keep) if PREFIX_KV else None,
+            on_complete=hook_complete,
+            on_dispatch=lambda w: dispatch_t.append(time.time()),
         )
-        buf_b.copy_to_host_async()
-        np.asarray(buf_b)
-        complete_t.append(time.time())
         intervals = [complete_t[i] - complete_t[i - 1] for i in range(1, len(complete_t))]
         wave_times = pick_window(intervals)
         # steady-state latency: the first two waves absorb the remote compiles

@@ -52,6 +52,7 @@ def run_paired_waves(
     seed: int = 0,
     prefix: Optional[Tuple] = None,  # (holder_cache, keep_len (B,)) for prefix-KV stage 1
     on_complete: Optional[Callable[[int, list, list], None]] = None,
+    on_dispatch: Optional[Callable[[int], None]] = None,  # before wave w's prefill
 ):
     """Run n_waves pair-pipelined two-stage waves; returns [PairedWaveResult] unless
     on_complete consumes them (then returns []).
@@ -94,6 +95,8 @@ def run_paired_waves(
 
     for w in range(n_waves):
         b1 = build_stage1(w)
+        if on_dispatch is not None:
+            on_dispatch(w)
         if prefix is not None:
             holder, pkeep = prefix
             logits1, cache1, attend1 = gen.run_chunk_prefill(
@@ -115,6 +118,10 @@ def run_paired_waves(
             steps=steps, temperature=gen1.temperature, top_p=gen1.top_p,
             seed=seed + 2 * w,
         )
+        # register the d2h copy at dispatch time: it fires the moment the pair loop
+        # completes, while the solo tail still runs (remote tunnels otherwise pay a
+        # full extra RTT when the copy is first issued inside np.asarray)
+        buf_b.copy_to_host_async()
         if rest1 > 0:
             rest, cache1 = gen.run_decode(
                 la2, cache1, np.asarray(b1.next_pos) + steps, g_rest1,
@@ -139,6 +146,7 @@ def run_paired_waves(
         steps=steps, temperature=gen1.temperature, top_p=gen1.top_p,
         seed=seed + 2 * n_waves,
     )
+    buf_b.copy_to_host_async()
     out2_prev = gen.trim_generated(np.asarray(buf_b))
     pw = pending[0]
     if on_complete is not None:
