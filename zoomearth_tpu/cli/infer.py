@@ -28,6 +28,9 @@ def main(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=1024)
     p.add_argument("--temperature", type=float, default=0.01)  # infer.py:112-115
     p.add_argument("--max_pixels", type=int, default=128 * 128 * 28 * 28)  # infer.py:155
+    p.add_argument("--mode", choices=("sequential", "pipelined"), default="sequential",
+                   help="pipelined: pair-pipelined waves + KV-reuse stage 2 "
+                        "(throughput config; sequential is the eval-parity default)")
     from .config import parse_with_yaml
 
     args = parse_with_yaml(p, argv)
@@ -41,6 +44,7 @@ def main(argv=None):
         batch_size=args.batch_size, rank=args.rank, world_size=args.world_size,
         gen=GenerationConfig(max_new_tokens=args.max_new_tokens, temperature=args.temperature),
         model_id=f"{args.exp_name}---LRS-GRO",
+        mode=args.mode,
     )
     print("Done! Predictions has been written to: ", out)
 
