@@ -271,7 +271,8 @@ def main():
     # questions — exactly what vLLM's enable_prefix_caching reuses, and what the
     # serving engine's image-block prefix pool already does. Stage-1 prefill then
     # processes only the [question + shared instruction] chunk (~384 vs ~768 bucket).
-    PREFIX_KV = os.environ.get("BENCH_PREFIX_KV", "0") == "1" and _PIPELINE
+    PREFIX_KV = (os.environ.get("BENCH_PREFIX_KV", "1") == "1" and _PIPELINE
+                 and os.environ.get("BENCH_PAIR", "1") == "1")
     if PREFIX_KV:
         import dataclasses
 
@@ -410,6 +411,8 @@ def main():
         return out1, out2
 
     pair = _PIPELINE and os.environ.get("BENCH_PAIR", "1") == "1"
+    if os.environ.get("BENCH_FORCE_FAIL") == "1" and PREFIX_KV:
+        raise RuntimeError("forced failure (fallback-ladder test hook)")
     if not pair:
         # Two warmup waves: one to compile every program, one more to flush any
         # first-steady-state effects (transfer buffer setup, donation aliasing). Compiles
@@ -574,8 +577,36 @@ def main():
     }))
 
 
-if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE") == "engine":
-        main_engine()
+def _fallback_ladder():
+    """Self-retry on failure: PREFIX_KV+pair -> pair -> plain pipelined.
+
+    The newest serving modes compose several TPU-validated-in-isolation pieces; if a
+    composition fails at real scale (an OOM at an untested shape, say), exec a fresh
+    process one rung down the ladder — a crashed run must never cost the round its
+    benchmark number. The exec resets the device client (clean HBM)."""
+    env = dict(os.environ)
+    if env.get("BENCH_NO_RETRY") == "1":
+        return False
+    if env.get("BENCH_PREFIX_KV", "1") == "1" and env.get("BENCH_PAIR", "1") == "1" and _PIPELINE:
+        env["BENCH_PREFIX_KV"] = "0"
+    elif env.get("BENCH_PAIR", "1") == "1" and _PIPELINE:
+        env["BENCH_PAIR"] = "0"
     else:
-        main()
+        return False
+    print(f"bench: retrying one rung down (PREFIX_KV={env.get('BENCH_PREFIX_KV')} "
+          f"PAIR={env.get('BENCH_PAIR')})", file=sys.stderr, flush=True)
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+
+if __name__ == "__main__":
+    try:
+        if os.environ.get("BENCH_MODE") == "engine":
+            main_engine()
+        else:
+            main()
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        _fallback_ladder()
+        raise
