@@ -97,6 +97,9 @@ def main_engine():
     # two row widths only: every (RB, S, n_emb) combination is a multi-minute remote
     # compile; 8 covers continuation/backfill trickle, max_slots covers the bursts
     engine.row_buckets = (8,)
+    # one attend bucket (stage-1 decode extent ~860 fits 1024; stage-2 takes the full
+    # span) — each (row bucket, attend) pair is another multi-minute remote compile
+    engine.decode_attend_buckets = (1024,)
     proc = Processor(FakeTokenizer(cfg.tokens), cfg, max_pixels=512 * 512)
     # random weights emit no bbox: force the stage-2 path like the wave bench does
     EP.extract_bboxes = lambda text, scale=1.0: [[2200, 2200, 2380, 2350]]
