@@ -11,6 +11,10 @@ BENCH_NO_INT8=1 for pure bf16), BENCH_BATCH episodes per wave (default 32) —
            continuation prefill (only the crop's ~340 vision tokens) -> decode 96 tokens
 Stage-1 image prep is amortized across waves (LRS-GRO asks ~10.7 questions/image) and
 the next wave's packing is PREFETCHED under the device work (image/loader.py).
+Default serving mode (BENCH_PAIR=1, BENCH_PREFIX_KV=1): waves run through the library
+pair-pipeline (runtime/pipeline.py) — wave n's stage-1 decode co-batched with wave
+n-1's stage-2 decode, stage-1 prefill seeded from a per-image [system+image] KV prefix
+(the reference's image-first prompt layout, infer.py:180-184).
 
 BENCH_MODE=engine runs the continuous-batching engine instead: 2*BATCH episodes with
 varied per-episode budgets over BATCH slots, prefix KV caching, slot backfill.
@@ -33,11 +37,11 @@ import numpy as np
 _PIPELINE = os.environ.get("BENCH_PIPELINE", "1") == "1"
 # decode reads all 3B weights once per step regardless of batch; at ~700 GB/s effective
 # HBM that floor is ~5 ms/step (int8), so batching is the main throughput lever
-# (KV-cache reads grow with batch but stay secondary). Measured r3 sweep (non-pipelined):
-# 32 -> 4.36, 48 -> 4.51, 64 -> 4.99 q/s; 80/96 OOM (4.5+ GB cache + int8 params +
-# prefill temps). Pipelined mode (r4, the default) keeps TWO waves' KV caches resident,
-# so 64 OOMs there — the shipping operating point is 48 pipelined (6.6 q/s, measured
-# r4), vs 64 non-pipelined (5.6 q/s): see the frontier table in BASELINE.md.
+# (KV-cache reads grow with batch but stay secondary). r3 sweep (non-pipelined):
+# 32 -> 4.36, 48 -> 4.51, 64 -> 4.99 q/s. The r4 default is PAIR-pipelined waves with
+# the per-image KV prefix (BENCH_PAIR / BENCH_PREFIX_KV, fallback ladder below);
+# split-row prefill + attend_len reads unlock batch >= 64 pipelined and 96 flat —
+# see the frontier table in BASELINE.md for the measured operating points.
 BATCH = int(os.environ.get("BENCH_BATCH", "48" if _PIPELINE else "64"))
 STAGE1_NEW = int(os.environ.get("BENCH_S1_NEW", "160"))
 STAGE2_NEW = int(os.environ.get("BENCH_S2_NEW", "96"))
