@@ -113,7 +113,7 @@ def run_paired_waves(
             out1_prev, group_b = stage2_group(pending)
         else:
             out1_prev, group_b = None, dummy_group(B, None)
-        buf_a, done_a, la2, cache1, buf_b, cache_b2 = gen.run_decode_pair(
+        buf_a, done_a, la2, cache1, buf_b, _ = gen.run_decode_pair(
             (logits1, cache1, b1.next_pos, attend1, None), group_b,
             steps=steps, temperature=gen1.temperature, top_p=gen1.top_p,
             seed=seed + 2 * w,
