@@ -166,3 +166,33 @@ def test_two_stage_stitched_kv_reuse_token_identity(hf_model, generator):
         cache, bc, np.asarray([keep_len]), GenerationConfig(max_new_tokens=16)
     )[0]
     assert got == _trim(want)[: len(got)] and len(got) >= min(16, len(_trim(want)))
+
+
+def test_pair_decode_bf16_token_identity(hf_model, generator):
+    """bf16 mid-size pair decode: co-batched two-group decode + solo resume must
+    equal the sequential solo decodes token for token (the TPU serving dtype)."""
+    from zoomearth_tpu.runtime.generate import prepare_batch
+
+    def build(seeds):
+        seqs, imgs = [], []
+        for s in seeds:
+            ids, im = _prompt(s, n_post=10 + s % 3)
+            seqs.append(ids)
+            imgs.append(im)
+        return prepare_batch(CFG, seqs, imgs, length_buckets=(128,), patch_buckets=(128,))
+
+    ba, bb = build((21, 22)), build((31, 32))
+    ref_a = generator.generate(ba, GenerationConfig(max_new_tokens=10))
+    ref_b = generator.generate(bb, GenerationConfig(max_new_tokens=6))
+    la, ca, aa = generator.run_prefill(ba, max_new=10)
+    lb, cb, ab = generator.run_prefill(bb, max_new=6)
+    buf_a, done_a, la2, ca, buf_b, _ = generator.run_decode_pair(
+        (la, ca, ba.next_pos, aa, None), (lb, cb, bb.next_pos, ab, None), steps=6,
+    )
+    assert generator.trim_generated(np.asarray(buf_b)) == ref_b
+    rest, _ = generator.run_decode(
+        la2, ca, np.asarray(ba.next_pos) + 6, GenerationConfig(max_new_tokens=4),
+        attend=aa, done0=done_a,
+    )
+    full = np.concatenate([np.asarray(buf_a), np.asarray(rest)], axis=1)
+    assert generator.trim_generated(full) == ref_a
