@@ -592,8 +592,8 @@ def _fallback_ladder():
     process one rung down the ladder — a crashed run must never cost the round its
     benchmark number. The exec resets the device client (clean HBM)."""
     env = dict(os.environ)
-    if env.get("BENCH_NO_RETRY") == "1":
-        return False
+    if env.get("BENCH_NO_RETRY") == "1" or env.get("BENCH_MODE") == "engine":
+        return False  # the ladder rungs only change wave-mode features
     if env.get("BENCH_PREFIX_KV", "1") == "1" and env.get("BENCH_PAIR", "1") == "1" and _PIPELINE:
         env["BENCH_PREFIX_KV"] = "0"
     elif env.get("BENCH_PAIR", "1") == "1" and _PIPELINE:
