@@ -278,8 +278,14 @@ def main():
     # questions — exactly what vLLM's enable_prefix_caching reuses, and what the
     # serving engine's image-block prefix pool already does. Stage-1 prefill then
     # processes only the [question + shared instruction] chunk (~384 vs ~768 bucket).
-    PREFIX_KV = (os.environ.get("BENCH_PREFIX_KV", "1") == "1" and _PIPELINE
-                 and os.environ.get("BENCH_PAIR", "1") == "1")
+    _pair_mode = _PIPELINE and os.environ.get("BENCH_PAIR", "1") == "1"
+    # prefix-KV stage 1: default ON in pair mode; opt-in for non-pipelined waves
+    # (frontier lat points); NOT supported by the legacy pipelined path (the fallback
+    # ladder's safest rung stays the long-validated code)
+    _pfx_env = os.environ.get("BENCH_PREFIX_KV")
+    PREFIX_KV = (_pair_mode if _pfx_env is None else _pfx_env == "1") and (
+        _pair_mode or not _PIPELINE
+    )
     if PREFIX_KV:
         import dataclasses
 
@@ -392,9 +398,23 @@ def main():
     def run_wave(prebuilt, seed):
         b1, tl, im = prebuilt
         t0 = time.time()
-        out1, cache = gen.generate(b1, g1, seed=seed, return_cache=True)
+        if PREFIX_KV:
+            # stage 1 from the per-tile [system+image] KV prefix (see the pair loop)
+            logits1, cache, attend1 = gen.run_chunk_prefill(
+                prefix_cache, b1, prefix_keep, max_new=STAGE1_NEW,
+                grow_to=gen.max_cache_len,
+            )
+            toks, cache = gen.run_decode(
+                logits1, cache, b1.next_pos, g1, seed=seed, attend=attend1
+            )
+            toks.copy_to_host_async()
+            out1 = gen.trim_generated(np.asarray(toks))
+            base_lengths = prefix_keep + np.asarray(b1.lengths)
+        else:
+            out1, cache = gen.generate(b1, g1, seed=seed, return_cache=True)
+            base_lengths = np.asarray(b1.lengths)
         t1 = time.time()
-        bc, keep = build_stage2_chunks(out1, b1.lengths, b1.next_pos)
+        bc, keep = build_stage2_chunks(out1, base_lengths, b1.next_pos)
         t2 = time.time()
         out2 = gen.continue_generate(cache, bc, keep, g2, seed=seed + 1)
         if timing:
@@ -417,7 +437,7 @@ def main():
                   f"| gen2 {time.time() - t2:.2f}s", file=sys.stderr)
         return out1, out2
 
-    pair = _PIPELINE and os.environ.get("BENCH_PAIR", "1") == "1"
+    pair = _pair_mode
     if os.environ.get("BENCH_FORCE_FAIL") == "1" and PREFIX_KV:
         raise RuntimeError("forced failure (fallback-ladder test hook)")
     if not pair:
