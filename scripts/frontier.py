@@ -25,6 +25,8 @@ CONFIGS = [
     # big batches: weights amortize (decode floor 4.2 ms/step is batch-independent);
     # split-row prefill + attend_len reads (r4) shrink the footprint that OOM'd 96
     ("wave-96-lat", {"BENCH_BATCH": "96", "BENCH_PIPELINE": "0"}),
+    ("wave-96-lat-prefix", {"BENCH_BATCH": "96", "BENCH_PIPELINE": "0",
+                            "BENCH_PREFIX_KV": "1"}),
     # throughput-optimized: PAIR-pipelined waves (stage-1 decode of wave n co-batched
     # with stage-2 decode of wave n-1; two resident KV caches)
     ("wave-48-pair", {"BENCH_BATCH": "48"}),
