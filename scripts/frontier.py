@@ -29,11 +29,12 @@ CONFIGS = [
                             "BENCH_PREFIX_KV": "1"}),
     # throughput-optimized: PAIR-pipelined waves (stage-1 decode of wave n co-batched
     # with stage-2 decode of wave n-1; two resident KV caches)
-    ("wave-48-pair", {"BENCH_BATCH": "48"}),
-    ("wave-64-pair", {"BENCH_BATCH": "64"}),  # the shipping default candidate
-    # + per-image [sys+image] KV-prefix cache (reference image-first prompt layout)
-    ("wave-48-pair-prefix", {"BENCH_BATCH": "48", "BENCH_PREFIX_KV": "1"}),
-    ("wave-64-pair-prefix", {"BENCH_BATCH": "64", "BENCH_PREFIX_KV": "1"}),
+    ("wave-48-pair", {"BENCH_BATCH": "48", "BENCH_PREFIX_KV": "0"}),
+    ("wave-64-pair", {"BENCH_BATCH": "64", "BENCH_PREFIX_KV": "0"}),
+    # + per-image [sys+image] KV-prefix cache (reference image-first prompt layout;
+    # the bench DEFAULT = pair + prefix)
+    ("wave-48-pair-prefix", {"BENCH_BATCH": "48"}),
+    ("wave-64-pair-prefix", {"BENCH_BATCH": "64"}),  # shipping default candidate
     # A/B: plain pipelining without the pair co-batch (isolates the pair gain)
     ("wave-48-pipelined", {"BENCH_BATCH": "48", "BENCH_PAIR": "0"}),
     # production continuous-batching engine (per-episode latencies, slot backfill)
