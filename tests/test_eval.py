@@ -189,3 +189,50 @@ def test_run_inference_pipelined_matches_sequential(tmp_path, monkeypatch):
         assert a["stage1"] == b["stage1"], a["question_id"]
         assert a["error"] == b["error"] is False
         assert a["stage2"]  # stage 2 really ran (forced bbox)
+
+
+def test_run_inference_pipelined_mixed_bbox(tmp_path, monkeypatch):
+    """Pipelined waves with SOME rows lacking a bbox: those rows ride the pair
+    program inert (done0) and their records carry error=True + stage-1 answers,
+    exactly like the sequential path."""
+    import jax
+
+    from zoomearth_tpu.agent import episode as EPI
+    from zoomearth_tpu.models.params import init_vlm_params
+    from zoomearth_tpu.runtime.generate import Generator
+
+    tk = FakeTokenizer(CFG.tokens)
+    proc = Processor(tk, CFG, max_pixels=4 * 28 * 28)
+    params = init_vlm_params(jax.random.key(0), CFG)
+    rng = np.random.default_rng(2)
+    imgs = {f"m{i}.png": Image.fromarray(rng.integers(0, 255, (300, 300, 3), dtype=np.uint8))
+            for i in range(4)}
+    samples = [
+        LRSGROSample(question_id=str(i), image_name=f"m{i}.png", category="cat",
+                     question=f"q{i}?", higher_level="p", ground_truth="car",
+                     bbox=[], type="global", image_path=f"m{i}.png")
+        for i in range(4)
+    ]
+    # odd-indexed questions produce a bbox, even ones don't (per-wave mixed rows)
+    calls = {"n": -1}
+
+    def fake_boxes(text, scale=1.0):
+        calls["n"] += 1
+        return [[60, 60, 140, 130]] if calls["n"] % 2 else []
+
+    monkeypatch.setattr(EPI, "extract_bboxes", fake_boxes)
+    g = Generator(params, CFG, max_cache_len=3072, cache_dtype="float32")
+    out = run_inference(
+        g, proc, samples, str(tmp_path / "mixed.jsonl"), batch_size=2,
+        gen=GenerationConfig(max_new_tokens=6, temperature=0.0),
+        image_loader=lambda s: imgs[s.image_name], mode="pipelined",
+    )
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 4
+    errors = [r["error"] for r in recs]
+    assert errors.count(True) == 2 and errors.count(False) == 2
+    for r in recs:
+        if r["error"]:
+            assert r["stage2"] == "" and r["answer2"] is None
+        else:
+            assert r["bbox"] is None or isinstance(r["bbox"], list)
