@@ -597,7 +597,11 @@ class Generator:
                     top_p=gen.top_p,
                     stop_tokens=stop_tokens,
                     attend_len=attend,
-                )
+                ),
+                # donate the cache: without this the program holds input AND output
+                # copies of the full KV tree (the while_loop's carry can alias
+                # internally but the program boundary cannot) — 2x cache HBM at peak
+                donate_argnums=(2,),
             )
         if done0 is None:  # constant arg structure: one trace per dc_key
             done0 = jnp.zeros((B,), jnp.bool_)
@@ -633,7 +637,11 @@ class Generator:
                     self._decode_loop_pair,
                     steps=steps, temperature=temperature, top_p=top_p,
                     stop_tokens=stop_tokens, attend_a=attend_a, attend_b=attend_b,
-                )
+                ),
+                # donate BOTH caches: un-donated, the pair program would hold input
+                # and output copies of two full KV trees simultaneously (~11 GB at
+                # 3B/B=48 before weights — a guaranteed OOM on v5e)
+                donate_argnums=(2, 5),
             )
         return self._decode_fns[key](
             self.params, logits_a, cache_a, jnp.asarray(pos_a),
