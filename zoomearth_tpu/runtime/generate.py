@@ -476,7 +476,10 @@ class Generator:
         pf_key = (B, S, n_patches, T1, win_mode)
         if pf_key not in self._prefill_fns:
             self._prefill_fns[pf_key] = jax.jit(
-                functools.partial(self._prefill, use_flash=big, win_mode=win_mode)
+                functools.partial(self._prefill, use_flash=big, win_mode=win_mode),
+                # donate the fresh zero cache: un-donated, the program holds the
+                # zeros input AND the filled output simultaneously (+1 cache of HBM)
+                donate_argnums=(6,),
             )
         prefill = self._prefill_fns[pf_key]
 
