@@ -31,6 +31,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -491,6 +492,7 @@ def main():
         N = WAVES + MAX_EXTRA + 2  # head iterations absorb the compiles
         loader = iter(PrefetchLoader(range(N), build_stage1, depth=1))
         dispatch_t, complete_t = [], []
+        s2_host_t = []  # per-wave host phase (crops/uploads) — timing self-check below
 
         def hook_stage1(w):
             return next(loader)[0]
@@ -500,8 +502,9 @@ def main():
             # (run_paired_waves adds keep_len to the chunk lengths)
             t0 = time.time()
             bc, keep = build_stage2_chunks(out1, base_lengths, base_next)
+            s2_host_t.append(time.time() - t0)
             if timing:
-                print(f"  [pair] s2 host {time.time() - t0:.2f}s", file=sys.stderr)
+                print(f"  [pair] s2 host {s2_host_t[-1]:.2f}s", file=sys.stderr)
             return bc, keep, None
 
         def hook_complete(w, out1, out2):
@@ -522,6 +525,23 @@ def main():
         episode_lat = [complete_t[i] - dispatch_t[i] for i in range(2, len(complete_t))]
         lat_p50 = float(np.percentile(episode_lat, 50))
         lat_p95 = float(np.percentile(episode_lat, 95))
+        # --- timing self-checks (pair-scheduling regressions fail LOUDLY, not by
+        # silently costing q/s): (a) the steady window's spread is within the guard;
+        # (b) the stage-2 host phase hides under device time — if crops/uploads stop
+        # overlapping the co-batched decode (a scheduling regression), s2-host grows
+        # toward the wave interval. Both are emitted in the JSON for the record.
+        s2_steady = s2_host_t[2:] if len(s2_host_t) > 2 else s2_host_t
+        s2_p50 = float(np.percentile(s2_steady, 50)) if s2_steady else 0.0
+        wave_p50 = float(np.percentile(wave_times, 50))
+        spread = max(wave_times) / max(min(wave_times), 1e-9)
+        timing_checks = {
+            "steady_spread": round(spread, 3),
+            "s2_host_p50_s": round(s2_p50, 3),
+            "s2_host_hidden": bool(s2_p50 <= 0.5 * wave_p50),
+            "timing_ok": bool(spread <= 1.10 and s2_p50 <= 0.5 * wave_p50),
+        }
+        if not timing_checks["timing_ok"]:
+            print(f"  WARN: timing self-check failed: {timing_checks}", file=sys.stderr)
     elif pipeline:
         # Software-pipelined waves: dispatch wave n's stage-1 generation (async),
         # then drain wave n-1 (token readback -> host crops -> KV-reuse gen2) while
@@ -588,7 +608,9 @@ def main():
     times_str = ", ".join(f"{t:.2f}" for t in wave_times)
     print(f"{WAVES} waves x {BATCH} episodes in {dt:.2f}s (wave_times=[{times_str}], "
           f"pipeline={pipeline})", file=sys.stderr)
+    extra = {"timing_checks": timing_checks} if pair else {}
     print(json.dumps({
+        **extra,
         "metric": f"LRS-GRO-shaped zoom-QA episodes/sec/chip "
                   f"({'TINY-SMOKE' if _TINY else '3B int8-serving'}, 2-stage, "
                   f"batch {BATCH}"
@@ -604,13 +626,80 @@ def main():
     }))
 
 
+# ---------------------------------------------------------------------------
+# Failure taxonomy + fail-fast backend probe.
+#
+# Round-4 lesson (BENCH_r04.json rc:124): when the remote-TPU tunnel is dead,
+# jax backend init HANGS (make_c_api_client never returns) or raises UNAVAILABLE;
+# the old ladder then re-exec'd into a second init that hung until the driver
+# timeout — one environment outage zeroed the round's artifact. The contract now:
+#   - backend/tunnel failures  -> structured {"error": "backend_unavailable"} JSON
+#     on stdout + non-zero exit within BENCH_PROBE_TIMEOUT seconds (no ladder);
+#   - genuine mode-composition failures (an OOM at an untested shape, say)
+#     -> fallback ladder, one rung down per exec.
+
+_BACKEND_FAILURE_MARKERS = (
+    "UNAVAILABLE",
+    "Unable to initialize backend",
+    "backend setup/compile error",
+    "DEADLINE_EXCEEDED",
+    "Connection refused",
+    "Socket closed",
+    "failed to connect",
+)
+
+
+def _is_backend_failure(text: str) -> bool:
+    return any(m in text for m in _BACKEND_FAILURE_MARKERS)
+
+
+def _emit_backend_error(detail: str, where: str) -> None:
+    """ONE structured JSON line (the driver's parse target) + fast non-zero exit."""
+    print(f"bench: FATAL backend failure during {where}: {detail}",
+          file=sys.stderr, flush=True)
+    print(json.dumps({
+        "error": "backend_unavailable",
+        "where": where,
+        "detail": detail[-500:],
+        "metric": "LRS-GRO-shaped zoom-QA episodes/sec/chip",
+        "value": None,
+        "unit": "queries/sec/chip",
+        "vs_baseline": None,
+    }), flush=True)
+    sys.exit(3)
+
+
+def _probe_backend(timeout_s: Optional[int] = None, code: Optional[str] = None) -> None:
+    """Init the jax backend in a THROWAWAY subprocess with a hard timeout before the
+    main process commits to it. A dead tunnel hangs init in C (SIGALRM can't
+    interrupt it), so the watchdog must live outside the hanging process. Costs a
+    few seconds when healthy; skipped for explicit-CPU runs."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu" or os.environ.get("BENCH_NO_PROBE") == "1":
+        return
+    import subprocess
+
+    timeout_s = timeout_s or int(os.environ.get("BENCH_PROBE_TIMEOUT", "90"))
+    code = code or "import jax; d = jax.devices(); print('probe-ok', d[0].platform)"
+    try:
+        proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                              text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        _emit_backend_error(f"backend init exceeded {timeout_s}s (tunnel hang)", "probe")
+    if proc.returncode != 0:
+        _emit_backend_error(proc.stderr.strip().splitlines()[-1] if proc.stderr else
+                            f"probe rc={proc.returncode}", "probe")
+    print(f"backend probe OK: {proc.stdout.strip()}", file=sys.stderr)
+
+
 def _fallback_ladder():
-    """Self-retry on failure: PREFIX_KV+pair -> pair -> plain pipelined.
+    """Self-retry on MODE failure: PREFIX_KV+pair -> pair -> plain pipelined.
 
     The newest serving modes compose several TPU-validated-in-isolation pieces; if a
     composition fails at real scale (an OOM at an untested shape, say), exec a fresh
     process one rung down the ladder — a crashed run must never cost the round its
-    benchmark number. The exec resets the device client (clean HBM)."""
+    benchmark number. The exec resets the device client (clean HBM). Backend/tunnel
+    failures NEVER reach here (classified fatal in __main__: retrying into a dead
+    backend converts a 30-second failure into a driver timeout)."""
     env = dict(os.environ)
     if env.get("BENCH_NO_RETRY") == "1" or env.get("BENCH_MODE") == "engine":
         return False  # the ladder rungs only change wave-mode features
@@ -626,14 +715,18 @@ def _fallback_ladder():
 
 
 if __name__ == "__main__":
+    _probe_backend()
     try:
         if os.environ.get("BENCH_MODE") == "engine":
             main_engine()
         else:
             main()
-    except Exception:
+    except Exception as e:
         import traceback
 
-        traceback.print_exc()
+        tb = traceback.format_exc()
+        print(tb, file=sys.stderr, flush=True)
+        if _is_backend_failure(tb) or _is_backend_failure(str(e)):
+            _emit_backend_error(str(e) or type(e).__name__, "run")
         _fallback_ladder()
         raise

@@ -232,3 +232,43 @@ def test_text_chunk_after_image_prefix_matches_full_prefill():
     toks2, _ = gen.run_decode(logits2, cache2, bc2.next_pos,
                               GenerationConfig(max_new_tokens=8), attend=attend2)
     assert gen.trim_generated(np.asarray(toks2)) == ref2
+
+
+def test_full_size_prefix_holder_survives_chunk_prefill():
+    """ADVICE r4 (medium): a prefix holder whose allocation already EQUALS the grow
+    target (the natural result of building it with the same Generator) must not be
+    donated by run_chunk_prefill when grow_to is passed — wave 1 reuses the holder
+    (run_paired_waves prefix path) and would otherwise hit 'Array has been deleted'."""
+    params = init_vlm_params(jax.random.key(0), CFG)
+    gen = Generator(params, CFG, max_cache_len=64, cache_dtype="float32")
+    tok = CFG.tokens
+    rng = np.random.default_rng(3)
+    pfx_ids = [tok.im_start] + list(rng.integers(1, 300, size=6))
+    pb = prepare_batch(CFG, [pfx_ids], [[]], length_buckets=(16,), patch_buckets=(0,))
+    _, holder, _ = gen.run_prefill(pb, max_new=0)
+    assert holder.k[0].shape[2] == gen.max_cache_len  # allocation == grow target
+    keep = np.asarray(pb.lengths, np.int32)
+    chunk = prepare_continuation(CFG, [list(rng.integers(1, 300, size=4))], [[]],
+                                 np.asarray(pb.next_pos), length_buckets=(16,))
+    outs = []
+    for _ in range(2):  # second call crashes if the first donated the holder
+        logits, cache, attend = gen.run_chunk_prefill(
+            holder, chunk, keep, max_new=4, grow_to=gen.max_cache_len,
+        )
+        toks, _ = gen.run_decode(logits, cache, chunk.next_pos,
+                                 GenerationConfig(max_new_tokens=4), attend=attend)
+        outs.append(gen.trim_generated(np.asarray(toks)))
+    assert outs[0] == outs[1]
+
+
+def test_attend_bucket_flash_decode_rounds_to_512(monkeypatch):
+    """ADVICE r4 (low): with the opt-in Pallas decode kernels enabled, attend spans
+    must be multiples of their 512-token kv chunk or decoder._attn_layer silently
+    falls back to XLA decode attention."""
+    assert Generator._attend_bucket(700, 4096) == 768  # default: smallest bucket
+    monkeypatch.setenv("ZOOMEARTH_FLASH_DECODE", "1")
+    assert Generator._attend_bucket(700, 4096) == 1024
+    assert Generator._attend_bucket(1100, 4096) == 1536
+    monkeypatch.delenv("ZOOMEARTH_FLASH_DECODE")
+    monkeypatch.setenv("ZOOMEARTH_FLASH_DECODE_Q8", "1")
+    assert Generator._attend_bucket(700, 4096) == 1024

@@ -293,7 +293,7 @@ def test_pair_decode_token_identity(hf_model):
 
     la, ca, aa = g.run_prefill(batch_a, max_new=12)
     lb, cb, ab = g.run_prefill(batch_b, max_new=5)
-    buf_a, done_a, la2, ca, buf_b, cb = g.run_decode_pair(
+    buf_a, done_a, la2, ca, buf_b, done_b, lb2, cb = g.run_decode_pair(
         (la, ca, batch_a.next_pos, aa, None),
         (lb, cb, batch_b.next_pos, ab, None),
         steps=5,
@@ -319,7 +319,7 @@ def test_pair_decode_int8_kv(hf_model):
     ref = g.generate(batch, GenerationConfig(max_new_tokens=6))
     la, ca, aa = g.run_prefill(batch, max_new=6)
     lb, cb, ab = g.run_prefill(batch, max_new=6)
-    buf_a, done_a, _, _, buf_b, _ = g.run_decode_pair(
+    buf_a, done_a, _, _, buf_b, _, _, _ = g.run_decode_pair(
         (la, ca, batch.next_pos, aa, None),
         (lb, cb, batch.next_pos, ab, None),
         steps=6,

@@ -186,7 +186,7 @@ def test_pair_decode_bf16_token_identity(hf_model, generator):
     ref_b = generator.generate(bb, GenerationConfig(max_new_tokens=6))
     la, ca, aa = generator.run_prefill(ba, max_new=10)
     lb, cb, ab = generator.run_prefill(bb, max_new=6)
-    buf_a, done_a, la2, ca, buf_b, _ = generator.run_decode_pair(
+    buf_a, done_a, la2, ca, buf_b, _, _, _ = generator.run_decode_pair(
         (la, ca, ba.next_pos, aa, None), (lb, cb, bb.next_pos, ab, None), steps=6,
     )
     assert generator.trim_generated(np.asarray(buf_b)) == ref_b

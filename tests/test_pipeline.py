@@ -1,0 +1,138 @@
+"""run_paired_waves unit tests (edge cases + budget envelopes).
+
+The identity-vs-sequential coverage lives in test_eval.py (run_inference pipelined)
+and test_midsize_parity.py; this file exercises the runner's own contract.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from zoomearth_tpu.config import VLMConfig
+from zoomearth_tpu.models.params import init_vlm_params
+from zoomearth_tpu.runtime.generate import (
+    GenerationConfig,
+    Generator,
+    prepare_batch,
+    prepare_continuation,
+)
+from zoomearth_tpu.runtime.pipeline import run_paired_waves
+
+CFG = VLMConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def generator():
+    params = init_vlm_params(jax.random.key(0), CFG)
+    return Generator(params, CFG, max_cache_len=64, cache_dtype="float32")
+
+
+def _boom(*a, **kw):
+    raise AssertionError("hook must not be called")
+
+
+def test_zero_waves_returns_empty(generator):
+    """ADVICE r4 (low): n_waves=0 used to crash in the drain (stage2_group(None))."""
+    res = run_paired_waves(
+        generator, 0, _boom, _boom,
+        gen1=GenerationConfig(max_new_tokens=4),
+        gen2=GenerationConfig(max_new_tokens=4),
+    )
+    assert res == []
+
+
+def _mk_hooks(generator, B, n_waves):
+    """Deterministic text-only two-stage hooks shared by the envelope tests."""
+    cfg = generator.cfg
+    tok = cfg.tokens
+
+    def build_stage1(w):
+        rngw = np.random.default_rng(w)
+        seqs = [[tok.im_start] + list(rngw.integers(1, 300, size=4 + b)) for b in range(B)]
+        return prepare_batch(cfg, seqs, [[] for _ in range(B)],
+                             length_buckets=(16,), patch_buckets=(0,))
+
+    def build_stage2(w, out1, base_lengths, base_next):
+        rngw = np.random.default_rng(100 + w)
+        chunks = [list(rngw.integers(1, 300, size=3)) for _ in range(B)]
+        keep = np.asarray([int(base_lengths[b]) + len(out1[b]) for b in range(B)], np.int32)
+        starts = [int(base_next[b]) + len(out1[b]) for b in range(B)]
+        bc = prepare_continuation(cfg, chunks, [[] for _ in range(B)], starts,
+                                  length_buckets=(16,))
+        return bc, keep, None
+
+    return build_stage1, build_stage2
+
+
+def _sequential_reference(generator, B, n_waves, gen1, gen2, seed):
+    """Same episodes executed wave-at-a-time through the composable stages (no
+    pairing): the pipelined runner must reproduce these tokens exactly."""
+    s1, s2 = _mk_hooks(generator, B, n_waves)
+    out = []
+    for w in range(n_waves):
+        b1 = s1(w)
+        logits1, cache1, attend1 = generator.run_prefill(b1, max_new=gen1.max_new_tokens)
+        toks, cache1 = generator.run_decode(logits1, cache1, b1.next_pos, gen1,
+                                            seed=seed + 2 * w, attend=attend1)
+        out1 = generator.trim_generated(np.asarray(toks))
+        chunk, keep, _ = s2(w, out1, np.asarray(b1.lengths), np.asarray(b1.next_pos))
+        logits2, cache2, attend2 = generator.run_chunk_prefill(
+            cache1, chunk, keep, max_new=gen2.max_new_tokens)
+        toks2, _ = generator.run_decode(logits2, cache2, chunk.next_pos, gen2,
+                                        seed=seed + 2 * w + 1, attend=attend2)
+        out.append((out1, generator.trim_generated(np.asarray(toks2))))
+    return out
+
+
+def test_paired_matches_reference_greedy(generator):
+    B, n_waves = 2, 3
+    gen1 = GenerationConfig(max_new_tokens=6, temperature=0.0)
+    gen2 = GenerationConfig(max_new_tokens=4, temperature=0.0)
+    s1, s2 = _mk_hooks(generator, B, n_waves)
+    got = {}
+    run_paired_waves(generator, n_waves, s1, s2, gen1=gen1, gen2=gen2, seed=0,
+                     on_complete=lambda w, o1, o2: got.__setitem__(w, (o1, o2)))
+    ref = _sequential_reference(generator, B, n_waves, gen1, gen2, seed=0)
+    for w in range(n_waves):
+        assert got[w][0] == ref[w][0], f"wave {w} stage-1 mismatch"
+        assert got[w][1] == ref[w][1], f"wave {w} stage-2 mismatch"
+
+
+@pytest.mark.parametrize("n1,n2", [(7, 4), (4, 7)])
+def test_paired_asymmetric_budgets(generator, n1, n2):
+    """VERDICT r4 #6: either stage may have the longer budget (reference runs
+    stage-1 1024 / stage-2 800); the shorter group's rows finish inside the pair
+    loop, the longer group's tail runs solo — tokens must match the sequential
+    reference exactly (greedy)."""
+    B, n_waves = 2, 3
+    gen1 = GenerationConfig(max_new_tokens=n1, temperature=0.0)
+    gen2 = GenerationConfig(max_new_tokens=n2, temperature=0.0)
+    s1, s2 = _mk_hooks(generator, B, n_waves)
+    got = {}
+    run_paired_waves(generator, n_waves, s1, s2, gen1=gen1, gen2=gen2, seed=0,
+                     on_complete=lambda w, o1, o2: got.__setitem__(w, (o1, o2)))
+    ref = _sequential_reference(generator, B, n_waves, gen1, gen2, seed=0)
+    for w in range(n_waves):
+        assert got[w][0] == ref[w][0], f"wave {w} stage-1 mismatch"
+        assert got[w][1] == ref[w][1], f"wave {w} stage-2 mismatch"
+
+
+def test_paired_unequal_temperatures(generator):
+    """Per-stage sampling configs (previously a ValueError): greedy stage 1 must
+    stay deterministic while stage 2 samples at its own temperature."""
+    B, n_waves = 2, 2
+    gen1 = GenerationConfig(max_new_tokens=5, temperature=0.0)
+    gen2 = GenerationConfig(max_new_tokens=4, temperature=0.9, top_p=0.8)
+    s1, s2 = _mk_hooks(generator, B, n_waves)
+    got = {}
+    run_paired_waves(generator, n_waves, s1, s2, gen1=gen1, gen2=gen2, seed=0,
+                     on_complete=lambda w, o1, o2: got.__setitem__(w, (o1, o2)))
+    # stage 1 is greedy: identical to the sequential greedy reference regardless of
+    # the partner group's sampling
+    ref = _sequential_reference(generator, B, n_waves, gen1,
+                                GenerationConfig(max_new_tokens=4, temperature=0.0),
+                                seed=0)
+    for w in range(n_waves):
+        assert got[w][0] == ref[w][0], f"wave {w} stage-1 mismatch"
+        assert all(len(t) <= 4 for t in got[w][1])

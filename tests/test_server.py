@@ -227,3 +227,31 @@ def test_streaming_sse(server):
         assert n_content >= 2
     elif ref_content:
         assert n_content >= 1
+
+
+def test_streaming_timeout_terminates_in_protocol(server):
+    """ADVICE r4 (low): a request that exceeds request_timeout after the SSE headers
+    are on the wire must end with an in-protocol error event + [DONE] — never a JSON
+    400 status line written into the open event stream."""
+    orig_submit = server.engine.submit
+    orig_timeout = server.request_timeout
+    server.request_timeout = 0.6
+    server.engine.submit = lambda req: None  # request never progresses
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+        conn.request("POST", "/v1/chat/completions",
+                     json.dumps({"messages": [{"role": "user", "content": "hang"}],
+                                 "max_tokens": 4, "stream": True}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        raw = resp.read().decode()
+        conn.close()
+    finally:
+        server.engine.submit = orig_submit
+        server.request_timeout = orig_timeout
+    assert "HTTP/" not in raw  # no status line leaked mid-stream
+    events = [l[len("data: "):] for l in raw.split("\n\n") if l.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]  # every event is valid JSON
+    assert chunks[-1]["error"]["type"] == "TimeoutError"

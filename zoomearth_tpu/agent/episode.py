@@ -147,6 +147,7 @@ def run_episodes_pipelined(
     crop_max_size: int = 512,
     gen: GenerationConfig = GenerationConfig(max_new_tokens=1024, temperature=0.01),
     seed: int = 0,
+    stage2_gen: Optional[GenerationConfig] = None,
 ) -> List[List[EpisodeResult]]:
     """Pair-pipelined cache-reuse episodes over a stream of equal-size waves.
 
@@ -190,7 +191,7 @@ def run_episodes_pipelined(
 
     run_paired_waves(
         generator, len(waves), build_stage1, build_stage2,
-        gen1=gen, gen2=gen, seed=seed, on_complete=on_complete,
+        gen1=gen, gen2=stage2_gen or gen, seed=seed, on_complete=on_complete,
     )
     return out  # type: ignore[return-value]
 
@@ -207,15 +208,21 @@ def run_episodes(
     gen: GenerationConfig = GenerationConfig(max_new_tokens=1024, temperature=0.01),
     seed: int = 0,
     reuse_cache: bool = False,
+    stage2_gen: Optional[GenerationConfig] = None,
 ) -> List[EpisodeResult]:
     """Run one batched two-stage episode per (question, full-res image) pair.
 
     reuse_cache=True continues stage 2 from the stage-1 KV cache (prefilling only the
     second image's tokens instead of the full stitched prompt) — faster, and the
     stitched text is identical, but kept tokens are the GENERATED ids rather than the
-    reference's re-tokenization, so eval-parity runs use False (the default)."""
+    reference's re-tokenization, so eval-parity runs use False (the default).
+
+    stage2_gen: stage-2 decoding config (default: same as stage 1) — the reference
+    runs asymmetric budgets (stage-1 1024, infer.py:109; stage-2 800,
+    customized_funcs.py MAX_TOKENS via the chat helper)."""
     cfg = generator.cfg
     tk = processor.tokenizer
+    gen2 = stage2_gen or gen
 
     # ---- stage 1: downsampled full image ----------------------------------
     stage1_texts, resized, scales, encoded, batch = _stage1_inputs(
@@ -233,7 +240,7 @@ def run_episodes(
         )
         if s2_idx:
             out2_all = generator.continue_generate(
-                stage1_cache, bc, keep, gen, seed=seed + 1, inert_mask=inert,
+                stage1_cache, bc, keep, gen2, seed=seed + 1, inert_mask=inert,
             )
             for i in s2_idx:
                 out2 = tk.decode(out2_all[i]).strip()
@@ -269,7 +276,7 @@ def run_episodes(
     if s2_idx:
         encoded2 = [processor.encode(t, ims) for t, ims in zip(s2_texts, s2_images)]
         batch2 = prepare_batch(cfg, [ids for ids, _ in encoded2], [imgs for _, imgs in encoded2])
-        out2_tokens = generator.generate(batch2, gen, seed=seed + 1)
+        out2_tokens = generator.generate(batch2, gen2, seed=seed + 1)
         for j, i in enumerate(s2_idx):
             out2 = tk.decode(out2_tokens[j]).strip()
             r = results[i]

@@ -52,6 +52,7 @@ def run_inference(
     world_size: int = 1,
     stage1_max_size: int = 512,
     gen: GenerationConfig = GenerationConfig(max_new_tokens=1024, temperature=0.01),
+    stage2_gen: Optional[GenerationConfig] = None,
     model_id: str = "zoomearth-tpu",
     image_loader=None,
     group_by_image: bool = True,
@@ -111,7 +112,7 @@ def run_inference(
                 ]
                 wave_results = run_episodes_pipelined(
                     generator, processor, waves,
-                    stage1_max_size=stage1_max_size, gen=gen,
+                    stage1_max_size=stage1_max_size, gen=gen, stage2_gen=stage2_gen,
                 )
                 for g, results in zip(full, wave_results):
                     for s, r in zip(g, results):
@@ -131,6 +132,7 @@ def run_inference(
                 images,
                 stage1_max_size=stage1_max_size,
                 gen=gen,
+                stage2_gen=stage2_gen,
                 reuse_cache=(mode == "pipelined"),
             )
             for s, r in zip(batch, results):

@@ -209,8 +209,18 @@ class Generator:
         """Smallest cache bucket covering `need` rows, or None for a full-allocation
         read. Decode attention reads the whole (masked) span it is compiled for, so a
         stage whose prompt+new extent fits a smaller bucket passes that bucket as the
-        STATIC attend_len and reads only that prefix of the full-size buffer."""
+        STATIC attend_len and reads only that prefix of the full-size buffer.
+
+        With the opt-in Pallas decode kernels enabled the span is rounded up to the
+        kernels' 512-token kv chunk — 768/1280 buckets would otherwise silently fall
+        back to XLA decode attention (decoder._attn_layer requires T % 512 == 0)."""
+        import os
+
+        flash = (os.environ.get("ZOOMEARTH_FLASH_DECODE") == "1"
+                 or os.environ.get("ZOOMEARTH_FLASH_DECODE_Q8") == "1")
         for b in DEFAULT_CACHE_BUCKETS:
+            if flash and b % 512:
+                continue
             if need <= b < alloc:
                 return b
         return None
@@ -338,16 +348,20 @@ class Generator:
         _, _, tokens_buf, _, cache, _, _ = jax.lax.while_loop(cond, body, state)
         return tokens_buf, cache
 
-    def _decode_loop_pair(self, params, logits_a, cache_a, pos_a, logits_b, cache_b, pos_b, key, done0_a=None, done0_b=None, *, steps, temperature, top_p, stop_tokens, attend_a, attend_b):
+    def _decode_loop_pair(self, params, logits_a, cache_a, pos_a, logits_b, cache_b, pos_b, key, done0_a=None, done0_b=None, *, steps, temperature, top_p, stop_tokens, attend_a, attend_b, temperature_b=None, top_p_b=None):
         """Co-batched while-loop decode over TWO independent caches (see
         decoder_forward_pair): one dense pass per step serves rows of both groups, so
         the per-step weight stream (~3 GB at 3B int8) is read once instead of twice.
         The pipelined wave runner pairs wave n's stage-1 decode with wave n-1's
         stage-2 decode for the first min(steps) tokens.
 
-        Returns (buf_a, done_a, next_logits_a, cache_a, buf_b, cache_b): group a can
-        resume in the standard solo loop (_decode_loop with first_logits =
-        next_logits_a, done0 = done_a) for its remaining tokens."""
+        temperature_b/top_p_b: group b's sampling params (default: same as group a) —
+        the two stages of the zoom-QA episode may run different budgets AND different
+        sampling configs (reference stage-2 chat, customized_funcs.py:206-225).
+
+        Returns (buf_a, done_a, next_logits_a, cache_a, buf_b, done_b, next_logits_b,
+        cache_b): EITHER group can resume in the standard solo loop (_decode_loop with
+        first_logits = next_logits_*, done0 = done_*) for its remaining tokens."""
         from ..models.decoder import decoder_forward_pair
         from ..models.vlm import embed_tokens
         from ..models.decoder import logits_from_hidden
@@ -357,11 +371,20 @@ class Generator:
         B = Ba + Bb
         pad_id = self.cfg.tokens.pad
         stop = jnp.asarray(stop_tokens, jnp.int32)
+        temp_b = temperature if temperature_b is None else temperature_b
+        tp_b = top_p if top_p_b is None else top_p_b
+
+        def pick_group(logits, k, temp, tp):
+            if temp <= 0.0:
+                return greedy(logits)
+            return sample(logits, k, temp, tp)
 
         def pick(logits, k):
-            if temperature <= 0.0:
-                return greedy(logits)
-            return sample(logits, k, temperature, top_p)
+            ka, kb = jax.random.split(k)
+            return jnp.concatenate([
+                pick_group(logits[:Ba], ka, temperature, top_p),
+                pick_group(logits[Ba:], kb, temp_b, tp_b),
+            ])
 
         def cond(state):
             step, done_a, done_b, *_ = state
@@ -399,10 +422,10 @@ class Generator:
         state = (0, done0_a, done0_b, buf_a, buf_b,
                  jnp.concatenate([logits_a, logits_b]),
                  cache_a, cache_b, pos_a, pos_b, key)
-        (_, done_a, _, buf_a, buf_b, logits, cache_a, cache_b, *_) = jax.lax.while_loop(
+        (_, done_a, done_b, buf_a, buf_b, logits, cache_a, cache_b, *_) = jax.lax.while_loop(
             cond, body, state
         )
-        return buf_a, done_a, logits[:Ba], cache_a, buf_b, cache_b
+        return buf_a, done_a, logits[:Ba], cache_a, buf_b, done_b, logits[Ba:], cache_b
 
     def _chunk_prefill(self, params, ids, chunk_lens, keep_len, pos, pixel_values, meta, cache, *, use_flash=False, grow_to=None, win_mode=0):
         """Prefill a continuation chunk into an EXISTING cache truncated to keep_len.
@@ -561,7 +584,13 @@ class Generator:
         if grow_to is not None:
             T2 = max(min(grow_to, self.max_cache_len), T2)
         win_mode = int(batch.vision_meta.get("win_mode", 0)) if batch.vision_meta else 0
-        key = ("chunk", B, S, n_patches, T_old, T2, win_mode)
+        # Donate the input cache ONLY when it is consumed: same-size AND no grow_to.
+        # An explicit grow_to flags a REUSABLE holder (run_paired_waves seeds every
+        # wave's stage 1 from the shared per-image prefix cache) — donating it when
+        # its allocation happens to equal the grow target would delete the holder
+        # after wave 0 ('Array has been deleted' on wave 1).
+        donate = grow_to is None and T2 == T_old
+        key = ("chunk", B, S, n_patches, T_old, T2, win_mode, donate)
         if key not in self._prefill_fns:
             self._prefill_fns[key] = jax.jit(
                 functools.partial(self._chunk_prefill, use_flash=quant or big,
@@ -569,7 +598,7 @@ class Generator:
                 # a grown cache changes shape, so the input can't alias the output
                 # (donating anyway emits a per-layer warning; the buffer is freed
                 # after its last use either way)
-                donate_argnums=(7,) if T2 == T_old else (),
+                donate_argnums=(7,) if donate else (),
             )
         chunk_prefill = self._prefill_fns[key]
         meta = None
@@ -614,15 +643,18 @@ class Generator:
         )
 
     def run_decode_pair(self, a, b, *, steps: int, temperature: float = 0.0,
-                        top_p: float = 1.0, seed: int = 0):
+                        top_p: float = 1.0, seed: int = 0,
+                        temperature_b: Optional[float] = None,
+                        top_p_b: Optional[float] = None):
         """Co-batched decode of two stages sharing one dense pass per step (see
         _decode_loop_pair / decoder_forward_pair): the per-step weight stream is read
         once for both groups.
 
         a, b: (first_logits, cache, next_pos, attend, done0-or-None) per group.
-        Returns (buf_a, done_a, next_logits_a, cache_a, buf_b, cache_b): group a
-        resumes its remaining tokens via run_decode(next_logits_a, cache_a,
-        next_pos + steps, ..., done0=done_a)."""
+        temperature_b/top_p_b: group b's sampling params (default: group a's).
+        Returns (buf_a, done_a, next_logits_a, cache_a, buf_b, done_b, next_logits_b,
+        cache_b): either group resumes its remaining tokens via
+        run_decode(next_logits_*, cache_*, next_pos + steps, ..., done0=done_*)."""
         logits_a, cache_a, pos_a, attend_a, done0_a = a
         logits_b, cache_b, pos_b, attend_b, done0_b = b
         stop_tokens = (self.cfg.tokens.eos, self.cfg.tokens.endoftext)
@@ -632,13 +664,14 @@ class Generator:
         if done0_b is None:
             done0_b = jnp.zeros((Bb,), jnp.bool_)
         Ta, Tb = cache_a.k[0].shape[2], cache_b.k[0].shape[2]
-        key = ("pair", Ba, Bb, Ta, Tb, steps, temperature, top_p, stop_tokens,
-               attend_a, attend_b)
+        key = ("pair", Ba, Bb, Ta, Tb, steps, temperature, top_p,
+               temperature_b, top_p_b, stop_tokens, attend_a, attend_b)
         if key not in self._decode_fns:
             self._decode_fns[key] = jax.jit(
                 functools.partial(
                     self._decode_loop_pair,
                     steps=steps, temperature=temperature, top_p=top_p,
+                    temperature_b=temperature_b, top_p_b=top_p_b,
                     stop_tokens=stop_tokens, attend_a=attend_a, attend_b=attend_b,
                 ),
                 # donate BOTH caches: un-donated, the pair program would hold input

@@ -59,18 +59,19 @@ def run_paired_waves(
 
     All waves must have the SAME batch size B (one compiled program set). The pair
     decode runs min(gen1, gen2).max_new_tokens joint steps; the longer stage finishes
-    its remaining tokens in a solo loop. Bootstrap and drain use an inert dummy
-    partner (rows start done) so ONE pair program serves every iteration.
+    its remaining tokens in a solo loop — EITHER stage may be the longer one, so the
+    reference's asymmetric budgets (stage-1 1024 via infer.py:109, stage-2 800 via
+    customized_funcs.py MAX_TOKENS) and per-stage sampling configs both work.
+    Bootstrap and drain use an inert dummy partner (rows start done) so ONE pair
+    program serves every iteration.
     """
-    if gen2.max_new_tokens > gen1.max_new_tokens:
-        raise ValueError("run_paired_waves pairs stage-2 inside stage-1's decode: "
-                         "gen2.max_new_tokens must be <= gen1.max_new_tokens")
-    if gen1.temperature != gen2.temperature or gen1.top_p != gen2.top_p:
-        raise ValueError("pair decode samples both groups in one program: "
-                         "gen1/gen2 temperature and top_p must match")
-    steps = gen2.max_new_tokens
+    if n_waves <= 0:
+        return []
+    steps = min(gen1.max_new_tokens, gen2.max_new_tokens)
     rest1 = gen1.max_new_tokens - steps
+    rest2 = gen2.max_new_tokens - steps
     g_rest1 = dataclasses.replace(gen1, max_new_tokens=rest1)
+    g_rest2 = dataclasses.replace(gen2, max_new_tokens=rest2)
 
     results: list = []
     pending = None  # (wave, base_lengths, base_next_pos, toks_dev, cache1)
@@ -113,11 +114,20 @@ def run_paired_waves(
             out1_prev, group_b = stage2_group(pending)
         else:
             out1_prev, group_b = None, dummy_group(B, None)
-        buf_a, done_a, la2, cache1, buf_b, _ = gen.run_decode_pair(
+        buf_a, done_a, la2, cache1, buf_b, done_b, lb2, cache_b2 = gen.run_decode_pair(
             (logits1, cache1, b1.next_pos, attend1, None), group_b,
             steps=steps, temperature=gen1.temperature, top_p=gen1.top_p,
+            temperature_b=gen2.temperature, top_p_b=gen2.top_p,
             seed=seed + 2 * w,
         )
+        if rest2 > 0:
+            # stage 2 is the LONGER budget: it finishes its remaining tokens solo
+            # (the bootstrap dummy's rows start done, so its tail exits in 0 steps)
+            rest_b, _ = gen.run_decode(
+                lb2, cache_b2, np.asarray(group_b[2]) + steps, g_rest2,
+                seed=seed + 2 * w + 1, attend=group_b[3], done0=done_b,
+            )
+            buf_b = jnp.concatenate([buf_b, rest_b], axis=1)
         # register the d2h copy at dispatch time: it fires the moment the pair loop
         # completes, while the solo tail still runs (remote tunnels otherwise pay a
         # full extra RTT when the copy is first issued inside np.asarray)
@@ -141,11 +151,18 @@ def run_paired_waves(
         pending = (w, base_lengths, np.asarray(b1.next_pos), toks_dev, cache1)
     # drain: the last wave's stage-2 pairs with an inert dummy stage-1 group
     out1_prev, group_b = stage2_group(pending)
-    _, _, _, _, buf_b, _ = gen.run_decode_pair(
+    _, _, _, _, buf_b, done_b, lb2, cache_b2 = gen.run_decode_pair(
         dummy_group(B, attend1_last), group_b,
         steps=steps, temperature=gen1.temperature, top_p=gen1.top_p,
+        temperature_b=gen2.temperature, top_p_b=gen2.top_p,
         seed=seed + 2 * n_waves,
     )
+    if rest2 > 0:
+        rest_b, _ = gen.run_decode(
+            lb2, cache_b2, np.asarray(group_b[2]) + steps, g_rest2,
+            seed=seed + 2 * n_waves + 1, attend=group_b[3], done0=done_b,
+        )
+        buf_b = jnp.concatenate([buf_b, rest_b], axis=1)
     buf_b.copy_to_host_async()
     out2_prev = gen.trim_generated(np.asarray(buf_b))
     pw = pending[0]

@@ -247,7 +247,28 @@ class OpenAIServer:
                     if req_id in self.engine.results:
                         done = True
                     elif time.time() > deadline:
-                        raise TimeoutError(req_id)
+                        # The 200/SSE headers and partial events are already on the
+                        # wire — raising here would make do_POST's generic handler
+                        # write a JSON 400 status line INTO the open event stream
+                        # (malformed SSE for the client). Terminate the stream
+                        # in-protocol instead, and cancel the request off-thread so
+                        # it stops consuming an engine slot (cancel_prefix waits for
+                        # the in-flight row to drain, so it must not block here).
+                        err = {
+                            "id": req_id, "object": "chat.completion.chunk",
+                            "created": created, "model": model, "choices": [],
+                            "error": {"message": f"request timed out after "
+                                                 f"{self.request_timeout}s",
+                                      "type": "TimeoutError"},
+                        }
+                        handler.wfile.write(f"data: {json.dumps(err)}\n\n".encode())
+                        handler.wfile.write(b"data: [DONE]\n\n")
+                        handler.wfile.flush()
+                        threading.Thread(
+                            target=self.engine.cancel_prefix, args=(req_id,),
+                            kwargs={"timeout": 60.0}, daemon=True,
+                        ).start()
+                        return
             completion = self.engine.get_completion(req_id, timeout=1.0)
             # drain tokens that raced the completion notification
             while True:

@@ -236,6 +236,7 @@ class GRPOTrainer:
         patch_buckets=DEFAULT_PATCH_BUCKETS,
         cache_dtype=None,
         rollout_engine=None,
+        prompt_fn: Optional[Callable[[str], str]] = None,
     ):
         """rollout_engine: optional serve.engine.ServingEngine used as the rollout
         actor instead of the in-process Generator — the reference's decoupled-engine
@@ -268,6 +269,11 @@ class GRPOTrainer:
             cache_dtype=cache_dtype or jnp.dtype(cfg.dtype),
         )
         self.rollout_engine = rollout_engine
+        # stage-1 prompt builder for image samples (default: the LRS_GRO template,
+        # agent/prompts.py rl_prompt == reference qwen_module.py:85-114). Injectable so
+        # harnesses with tiny token budgets can swap a short template without
+        # monkeypatching the prompts module.
+        self.prompt_fn = prompt_fn or PT.rl_prompt
         self.image_loader = image_loader
         self.length_buckets = length_buckets
         self.patch_buckets = patch_buckets
@@ -358,7 +364,7 @@ class GRPOTrainer:
             for im in full_images
         ]
         prompts_text = [
-            PT.rl_prompt(s.question) if im is not None else PT.text_rl_prompt(s.question)
+            self.prompt_fn(s.question) if im is not None else PT.text_rl_prompt(s.question)
             for s, im in zip(rep, stage1_images)
         ]
         enc1 = [
