@@ -121,3 +121,32 @@ class TestDryrunNeverTouchesParentBackend:
         code = calls["cmd"][-1]
         assert "jax.config.update('jax_platforms', 'cpu')" in code
         assert "dryrun_multichip(8)" in code
+
+
+class TestBenchDriverEndToEnd:
+    def test_tiny_bench_pair_mode_emits_timing_checks(self, tmp_path):
+        """Drive bench.py's shipping mode (pair + prefix-KV waves) end-to-end at
+        tiny scale in a subprocess: rc 0, one parseable JSON line, timing
+        self-checks present. Guards the bench driver itself — the r4 pair/prefix
+        machinery's only other at-scale exercise is the TPU bench."""
+        import subprocess
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env.update({
+            "PYTHONPATH": repo, "JAX_PLATFORMS": "cpu",
+            "JAX_COMPILATION_CACHE_DIR": os.path.join(repo, "tests", ".jax_cache"),
+            "BENCH_TINY": "1", "BENCH_BATCH": "4", "BENCH_WAVES": "2",
+            "BENCH_S1_NEW": "8", "BENCH_S2_NEW": "6", "BENCH_TILE_PX": "150",
+        })
+        env.pop("XLA_FLAGS", None)  # single-device CPU, not the 8-device test mesh
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py")],
+            capture_output=True, text=True, timeout=540, env=env, cwd=repo,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert rec["unit"] == "queries/sec/chip" and rec["value"] > 0
+        assert "pair-pipelined" in rec["metric"]
+        assert "timing_checks" in rec
+        assert "ladder" not in proc.stderr  # no fallback rung fired
