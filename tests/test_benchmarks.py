@@ -1,0 +1,47 @@
+"""Benchmark registry + job runner (lighteval-over-Slurm equivalent,
+reference open_r1/utils/evaluation.py)."""
+
+import json
+
+import pytest
+
+from zoomearth_tpu.eval import benchmarks as BM
+
+
+def test_default_registry():
+    names = BM.get_benchmarks()
+    assert "lrs_gro" in names and "lrs_gro_mini" in names
+
+
+def test_register_custom_suite():
+    BM.register_benchmark("custom_suite_t", data_file="x.jsonl", image_folder="im",
+                          extra_infer_args=("--limit", "8"), score=False)
+    try:
+        job = BM.build_job("custom_suite_t", "/ckpt/step50", step=50)
+        assert "--limit" in job["cmd"] and "8" in job["cmd"]
+        assert "score_cmd" not in job
+    finally:
+        BM.BENCHMARKS.pop("custom_suite_t")
+
+
+def test_run_benchmark_jobs_queue_and_all(tmp_path):
+    jobs = BM.run_benchmark_jobs(["all"], "/ckpt/step10", step=10,
+                                 output_dir=str(tmp_path))
+    assert {j["benchmark"] for j in jobs} == set(BM.get_benchmarks())
+    rows = [json.loads(l) for l in (tmp_path / "benchmark_jobs.jsonl").read_text().splitlines()]
+    assert len(rows) == len(jobs)
+    assert all(r["step"] == 10 and "zoomearth_tpu.cli.infer" in " ".join(r["cmd"])
+               for r in rows)
+    assert all("zoomearth_tpu.cli.eval" in " ".join(r["score_cmd"]) for r in rows)
+
+
+def test_unknown_benchmark_raises(tmp_path):
+    with pytest.raises(ValueError, match="unknown benchmark"):
+        BM.run_benchmark_jobs(["nope"], "/ckpt", output_dir=str(tmp_path))
+
+
+def test_overrides_applied(tmp_path):
+    jobs = BM.run_benchmark_jobs(["lrs_gro"], "/ckpt", output_dir=str(tmp_path),
+                                 data_file="/my/test.jsonl", image_folder="/my/imgs")
+    cmd = jobs[0]["cmd"]
+    assert "/my/test.jsonl" in cmd and "/my/imgs" in cmd

@@ -289,3 +289,49 @@ def test_decode_attend_bucketing_token_identity(params):
     assert any(a is not None for (_, a) in eng._decode_compact_fns) or any(
         a is not None for a in eng._decode_full_fns
     ), (list(eng._decode_compact_fns), list(eng._decode_full_fns))
+
+
+def test_submit_rejects_over_bucket_prompt(params):
+    """A prompt longer than the largest prefill bucket is rejected at submit (the
+    caller gets a clean error) instead of poisoning an admission batch."""
+    engine = ServingEngine(params, CFG, max_slots=1, max_seq_len=256,
+                           cache_dtype="float32", length_buckets=(64,), patch_buckets=(0,))
+    ids, _ = _prompt(1, 100)
+    with pytest.raises(ValueError, match="largest prefill bucket"):
+        engine.submit(Request(request_id="big", token_ids=ids, images=[], max_tokens=8))
+
+
+def test_admission_failure_does_not_kill_pump(params):
+    """r5 robustness: an admission batch whose prep raises (here: a continuation
+    chunk exceeding the largest bucket) must error-complete its requests — NOT kill
+    the pump thread (which would hang every later get_completion forever, the
+    pre-fix failure mode) — and the engine keeps serving new requests after."""
+    from zoomearth_tpu.serve.engine import Continuation
+
+    engine = ServingEngine(
+        params, CFG, max_slots=2, max_seq_len=512, decode_chunk=2,
+        cache_dtype="float32", length_buckets=(64,), patch_buckets=(0,),
+    )
+    engine.start()
+    try:
+        ids, _ = _prompt(11, 6)
+        engine.submit(Request(request_id="p0", token_ids=ids, images=[],
+                              max_tokens=4, hold_slot=True))
+        assert engine.get_completion("p0", timeout=60).finish_reason in ("stop", "length")
+        # continuation whose chunk exceeds the 64-token bucket -> admission failure
+        big_chunk = list(np.random.default_rng(0).integers(1, 400, size=80))
+        engine.submit_continuation(Continuation(
+            request_id="c0", parent_request_id="p0", chunk_ids=big_chunk,
+            images=[], kept_tokens=0, max_tokens=4,
+        ))
+        c = engine.get_completion("c0", timeout=60)
+        assert c.finish_reason == "error" and c.token_ids == []
+        assert engine.stats.get("errors", 0) == 1
+        # the held slot was swept (no leak) and the engine still serves
+        assert "p0" not in engine.held
+        assert not any(s.held for s in engine.slots)
+        ids2, _ = _prompt(12, 8)
+        engine.submit(Request(request_id="p1", token_ids=ids2, images=[], max_tokens=4))
+        assert engine.get_completion("p1", timeout=60).finish_reason in ("stop", "length")
+    finally:
+        engine.stop()

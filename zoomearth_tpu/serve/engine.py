@@ -713,6 +713,13 @@ class ServingEngine:
                 f"request {request.request_id}: prompt ({len(request.token_ids)}) + "
                 f"max_tokens ({request.max_tokens}) exceeds max_seq_len ({self.max_seq_len})"
             )
+        if len(request.token_ids) > self.length_buckets[-1]:
+            # reject at the submission boundary (the caller gets a clean error, e.g.
+            # an HTTP 400) instead of poisoning a whole admission batch in the pump
+            raise ValueError(
+                f"request {request.request_id}: prompt ({len(request.token_ids)}) "
+                f"exceeds the largest prefill bucket ({self.length_buckets[-1]})"
+            )
         self.queue.put(request)
 
     def submit_continuation(self, continuation: Continuation):
@@ -1001,6 +1008,39 @@ class ServingEngine:
         else:
             self.slots[slot_idx] = _Slot()
 
+    def _fail_admission(self, admissible, exc: Exception):
+        """An admission batch whose prep/prefill raised (an over-bucket continuation
+        chunk, an unexpected shape) must not kill the pump thread: every waiting
+        client would then block forever on get_completion with zero diagnostics (the
+        pre-fix failure mode). Error-complete each admitted item so callers unblock,
+        and free any slot state the partial admission left behind."""
+        import sys
+        import traceback
+
+        print(f"engine: admission batch failed ({exc!r}); "
+              f"erroring {len(admissible)} request(s)", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+        for item, slot_idx in admissible:
+            if isinstance(item, Continuation):
+                slot_idx = self.held.pop(item.parent_request_id, None)
+            if slot_idx is not None:
+                self.active[slot_idx] = False
+                self.slots[slot_idx] = _Slot()
+            completion = Completion(request_id=item.request_id, token_ids=[],
+                                    finish_reason="error", prompt_tokens=0)
+            with self._results_cond:
+                self.results[item.request_id] = completion
+                self._results_cond.notify_all()
+            if self.on_completion is not None:
+                self.on_completion(completion)
+            self.stats["errors"] = self.stats.get("errors", 0) + 1
+        # sweep orphaned held slots: _prep_continuation pops self.held BEFORE the
+        # batch runs, so a failure mid-batch would otherwise leak those slots
+        held_slots = set(self.held.values())
+        for i, s in enumerate(self.slots):
+            if s.held and i not in held_slots and not self.active[i]:
+                self.slots[i] = _Slot()
+
     def step(self):
         """One scheduler tick: drain the queue into batched prefills, pump one decode
         chunk, retire finished slots."""
@@ -1041,12 +1081,15 @@ class ServingEngine:
                 self.queue.put(item)
                 self._in_admission.discard(item.request_id)
             if admissible:
-                rows = [
-                    self._prep_continuation(item) if isinstance(item, Continuation)
-                    else self._prep_request(item, slot_idx)
-                    for item, slot_idx in admissible
-                ]
-                self._run_prefill_batch(rows)
+                try:
+                    rows = [
+                        self._prep_continuation(item) if isinstance(item, Continuation)
+                        else self._prep_request(item, slot_idx)
+                        for item, slot_idx in admissible
+                    ]
+                    self._run_prefill_batch(rows)
+                except Exception as e:  # noqa: BLE001 — see _fail_admission
+                    self._fail_admission(admissible, e)
         finally:
             # slots now reflect the admitted rows (or the tick failed) — either way
             # cancel_prefix no longer needs the admission shadow
@@ -1142,7 +1185,18 @@ class ServingEngine:
 
         def pump():
             while self._running:
-                busy = self.step()
+                try:
+                    busy = self.step()
+                except Exception:  # noqa: BLE001
+                    # the pump IS the engine: if it dies, every get_completion
+                    # blocks forever. Admission failures are contained upstream
+                    # (_fail_admission); anything that still escapes is logged and
+                    # the loop continues serving the remaining slots.
+                    import sys
+                    import traceback
+
+                    traceback.print_exc(file=sys.stderr)
+                    busy = False
                 if not busy:
                     time.sleep(0.002)
 

@@ -21,11 +21,7 @@ Wire into training loops via `callbacks=[...]`; each is called as
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
-import subprocess
-import sys
-import time
 from typing import Optional, Sequence
 
 
@@ -69,29 +65,18 @@ class BenchmarkCallback:
     benchmarks: Sequence[str] = ("lrs_gro",)
     run_now: bool = False
 
-    def on_save(self, step: int, ckpt_dir: str, params=None) -> dict:
-        job = {
-            "step": step,
-            "checkpoint": ckpt_dir,
-            "benchmarks": list(self.benchmarks),
-            "cmd": [
-                sys.executable, "-m", "zoomearth_tpu.cli.infer",
-                "--model_name_or_path", ckpt_dir,
-                "--data_file", self.data_file,
-                "--image_folder", self.image_folder,
-                "--exp_name", f"bench-step{step:06d}",
-            ],
-            "created_at": time.time(),
-        }
-        os.makedirs(self.output_dir, exist_ok=True)
-        with open(os.path.join(self.output_dir, "benchmark_jobs.jsonl"), "a") as f:
-            f.write(json.dumps(job) + "\n")
-        if self.run_now:
-            subprocess.Popen(
-                job["cmd"], stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                start_new_session=True,
-            )
-        return job
+    def on_save(self, step: int, ckpt_dir: str, params=None) -> list:
+        """One job per registered benchmark via the eval.benchmarks registry (the
+        lighteval task registry equivalent, reference evaluation.py:27-62);
+        data_file/image_folder override the registered template paths."""
+        from ..eval.benchmarks import run_benchmark_jobs
+
+        return run_benchmark_jobs(
+            self.benchmarks, ckpt_dir, step=step, output_dir=self.output_dir,
+            run_now=self.run_now,
+            data_file=self.data_file or None,
+            image_folder=self.image_folder or None,
+        )
 
 
 def run_callbacks(callbacks, step: int, ckpt_dir: str, params=None):
