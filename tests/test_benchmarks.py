@@ -45,3 +45,16 @@ def test_overrides_applied(tmp_path):
                                  data_file="/my/test.jsonl", image_folder="/my/imgs")
     cmd = jobs[0]["cmd"]
     assert "/my/test.jsonl" in cmd and "/my/imgs" in cmd
+
+
+def test_job_cmds_parse_with_infer_cli():
+    """Every registered benchmark's job cmd must be accepted by cli/infer's own
+    argument parser (catches registry/CLI flag drift — the jobs run detached, so a
+    bad flag would otherwise only surface as a silently dead subprocess)."""
+    from zoomearth_tpu.cli.infer import build_parser
+
+    parser = build_parser()
+    for name in BM.get_benchmarks():
+        job = BM.build_job(name, "/ckpt/step1", step=1)
+        args = parser.parse_args(job["cmd"][3:])  # strip: python -m module
+        assert args.model_name == "/ckpt/step1"

@@ -71,7 +71,7 @@ def build_job(benchmark: str, ckpt_dir: str, *, step: int = 0,
     results = os.path.join(out_dir, f"{exp}.jsonl")
     infer_cmd = [
         sys.executable, "-m", "zoomearth_tpu.cli.infer",
-        "--model_name_or_path", ckpt_dir,
+        "--model_name", ckpt_dir,
         "--data_file", data_file or spec.data_file,
         "--image_folder", image_folder if image_folder is not None else spec.image_folder,
         "--exp_name", exp,
