@@ -66,6 +66,12 @@ def main():
             print(f"{name}: FAILED rc={proc.returncode}\n{proc.stderr[-2000:]}",
                   file=sys.stderr)
             rows.append({"config": name, "error": proc.returncode})
+            rec = json.loads(line) if line else {}
+            if rec.get("error") == "backend_unavailable":
+                # dead tunnel fails every remaining point identically — stop the
+                # sweep instead of paying the probe timeout once per config
+                print("frontier: backend unavailable — aborting sweep", file=sys.stderr)
+                break
             continue
         rec = json.loads(line)
         rec["config"] = name

@@ -1034,8 +1034,12 @@ class ServingEngine:
             if self.on_completion is not None:
                 self.on_completion(completion)
             self.stats["errors"] = self.stats.get("errors", 0) + 1
-        # sweep orphaned held slots: _prep_continuation pops self.held BEFORE the
-        # batch runs, so a failure mid-batch would otherwise leak those slots
+
+    def _sweep_orphan_held(self):
+        """Reset held slots no longer reachable through self.held: _prep_continuation
+        pops self.held BEFORE its batch runs, so a failed admission would otherwise
+        leak those slots. Called once per tick AFTER all admission retries (a sweep
+        mid-retry could reset a slot whose solo retry is still pending)."""
         held_slots = set(self.held.values())
         for i, s in enumerate(self.slots):
             if s.held and i not in held_slots and not self.active[i]:
@@ -1081,15 +1085,33 @@ class ServingEngine:
                 self.queue.put(item)
                 self._in_admission.discard(item.request_id)
             if admissible:
-                try:
-                    rows = [
-                        self._prep_continuation(item) if isinstance(item, Continuation)
-                        else self._prep_request(item, slot_idx)
-                        for item, slot_idx in admissible
-                    ]
-                    self._run_prefill_batch(rows)
-                except Exception as e:  # noqa: BLE001 — see _fail_admission
-                    self._fail_admission(admissible, e)
+                # per-item prep: a failing item (e.g. an over-bucket continuation
+                # chunk) is errored alone, never poisoning its co-admitted peers
+                rows, prepped = [], []
+                for item, slot_idx in admissible:
+                    try:
+                        rows.append(
+                            self._prep_continuation(item) if isinstance(item, Continuation)
+                            else self._prep_request(item, slot_idx)
+                        )
+                        prepped.append((item, slot_idx))
+                    except Exception as e:  # noqa: BLE001 — see _fail_admission
+                        self._fail_admission([(item, slot_idx)], e)
+                if rows:
+                    try:
+                        self._run_prefill_batch(rows)
+                    except Exception as e:  # noqa: BLE001
+                        if len(rows) == 1:
+                            self._fail_admission(prepped, e)
+                        else:
+                            # isolate the poison row(s): each row retries in its own
+                            # single-row batch; only genuine offenders error out
+                            for row, pi in zip(rows, prepped):
+                                try:
+                                    self._run_prefill_batch([row])
+                                except Exception as e2:  # noqa: BLE001
+                                    self._fail_admission([pi], e2)
+                self._sweep_orphan_held()
         finally:
             # slots now reflect the admitted rows (or the tick failed) — either way
             # cancel_prefix no longer needs the admission shadow
