@@ -43,15 +43,18 @@ _PIPELINE = os.environ.get("BENCH_PIPELINE", "1") == "1"
 # the per-image KV prefix (BENCH_PAIR / BENCH_PREFIX_KV, fallback ladder below);
 # split-row prefill + attend_len reads unlock batch >= 64 pipelined and 96 flat —
 # see the frontier table in BASELINE.md for the measured operating points.
-BATCH = int(os.environ.get("BENCH_BATCH", "48" if _PIPELINE else "64"))
-STAGE1_NEW = int(os.environ.get("BENCH_S1_NEW", "160"))
-STAGE2_NEW = int(os.environ.get("BENCH_S2_NEW", "96"))
-WAVES = int(os.environ.get("BENCH_WAVES", "3"))  # timed waves (after warmup waves)
 A100_VLLM_BASELINE_QPS = 2.0  # documented estimate, see module docstring
-# BENCH_TINY=1: VLMConfig.tiny() + small tiles — validates the bench DRIVER (wave
-# pipelining, pair decode, stage-2 host path) on CPU in seconds; numbers meaningless.
+# BENCH_TINY=1: VLMConfig.tiny() + small tiles + small batch/budgets — validates the
+# bench DRIVER (wave pipelining, pair decode, prefix seeding, stage-2 host path) on a
+# 1-core CPU in well under a minute; numbers meaningless. Explicit BENCH_* overrides
+# still win (the knobs below only change the TINY defaults).
 _TINY = os.environ.get("BENCH_TINY") == "1"
-_TILE_PX = int(os.environ.get("BENCH_TILE_PX", "250" if _TINY else "5000"))
+BATCH = int(os.environ.get("BENCH_BATCH",
+                           "4" if _TINY else ("48" if _PIPELINE else "64")))
+STAGE1_NEW = int(os.environ.get("BENCH_S1_NEW", "8" if _TINY else "160"))
+STAGE2_NEW = int(os.environ.get("BENCH_S2_NEW", "6" if _TINY else "96"))
+WAVES = int(os.environ.get("BENCH_WAVES", "2" if _TINY else "3"))  # timed waves
+_TILE_PX = int(os.environ.get("BENCH_TILE_PX", "150" if _TINY else "5000"))
 
 
 def synthetic_tile(seed, size=_TILE_PX):
