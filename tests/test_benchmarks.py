@@ -58,3 +58,53 @@ def test_job_cmds_parse_with_infer_cli():
         job = BM.build_job(name, "/ckpt/step1", step=1)
         args = parser.parse_args(job["cmd"][3:])  # strip: python -m module
         assert args.model_name == "/ckpt/step1"
+
+
+def test_queue_drainer_executes_and_is_idempotent(tmp_path, capsys):
+    """cli/run_benchmarks plays the scheduler: executes pending job specs (cmd then
+    score_cmd), ledgers results, and skips ledgered jobs on re-run."""
+    import sys
+
+    from zoomearth_tpu.cli.run_benchmarks import main as drain
+
+    queue = tmp_path / "benchmark_jobs.jsonl"
+    marker = tmp_path / "ran.txt"
+    job = {
+        "benchmark": "fake", "step": 7, "checkpoint": "/ckpt",
+        "cmd": [sys.executable, "-c",
+                f"open({str(marker)!r}, 'a').write('infer\\n')"],
+        "score_cmd": [sys.executable, "-c",
+                      f"open({str(marker)!r}, 'a').write('score\\n')"],
+    }
+    with open(queue, "w") as f:
+        f.write(json.dumps(job) + "\n")
+    drain(["--queue", str(queue)])
+    assert marker.read_text() == "infer\nscore\n"
+    ledger = tmp_path / "benchmark_results.jsonl"
+    recs = [json.loads(l) for l in ledger.read_text().splitlines()]
+    assert len(recs) == 1 and recs[0]["ok"] and recs[0]["rcs"] == [0, 0]
+    # idempotent: second drain runs nothing
+    drain(["--queue", str(queue)])
+    assert marker.read_text() == "infer\nscore\n"
+    assert len(ledger.read_text().splitlines()) == 1
+
+
+def test_queue_drainer_failed_infer_skips_score(tmp_path):
+    import sys
+
+    from zoomearth_tpu.cli.run_benchmarks import main as drain
+
+    queue = tmp_path / "q.jsonl"
+    marker = tmp_path / "ran.txt"
+    job = {
+        "benchmark": "bad", "step": 1, "checkpoint": "/c",
+        "cmd": [sys.executable, "-c", "import sys; sys.exit(2)"],
+        "score_cmd": [sys.executable, "-c",
+                      f"open({str(marker)!r}, 'a').write('score\\n')"],
+    }
+    with open(queue, "w") as f:
+        f.write(json.dumps(job) + "\n")
+    drain(["--queue", str(queue), "--ledger", str(tmp_path / "led.jsonl")])
+    assert not marker.exists()  # score never ran
+    rec = json.loads((tmp_path / "led.jsonl").read_text())
+    assert rec["ok"] is False and rec["rcs"] == [2]
