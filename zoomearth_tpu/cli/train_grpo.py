@@ -53,10 +53,19 @@ def main(argv=None):
     p.add_argument("--log_completions", action="store_true",
                    help="append per-step rollout samples to <output_dir>/completions.jsonl")
     p.add_argument("--seed", type=int, default=42)
+    # multi-host launch (torchrun --master_addr/--nnodes/--node_rank analog,
+    # reference run_scripts/train_grpo.sh:34-36)
+    p.add_argument("--coordinator_address", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     from .config import parse_with_yaml
 
     args = parse_with_yaml(p, argv)
 
+    if args.coordinator_address or (args.num_processes or 1) > 1:
+        from ..parallel.multihost import initialize
+
+        initialize(args.coordinator_address, args.num_processes, args.process_id)
     params, cfg, processor = load_model_and_processor(args.model_name_or_path)
     samples = load_lrs_gro_jsonl(args.data_file_paths.split(":"), args.image_folders.split(":"))
     if args.max_samples:

@@ -37,10 +37,20 @@ def main(argv=None):
                    help="metric sinks: jsonl, tensorboard, wandb (reference SFT.py:333-339)")
     p.add_argument("--fsdp", type=int, default=1, help="fsdp mesh axis size")
     p.add_argument("--tensor", type=int, default=1, help="tensor mesh axis size")
+    # multi-host launch (torchrun --master_addr/--nnodes/--node_rank analog,
+    # reference run_scripts/train_grpo.sh:34-36; on TPU pods all three may be
+    # omitted — jax.distributed self-configures)
+    p.add_argument("--coordinator_address", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     from .config import parse_with_yaml
 
     args = parse_with_yaml(p, argv)
 
+    if args.coordinator_address or (args.num_processes or 1) > 1:
+        from ..parallel.multihost import initialize
+
+        initialize(args.coordinator_address, args.num_processes, args.process_id)
     params, cfg, processor = load_model_and_processor(args.model_name, max_pixels=args.max_pixels)
     mesh = make_mesh(data=-1, fsdp=args.fsdp, tensor=args.tensor) if len(jax.devices()) > 1 else None
     dataset = load_sft_jsonl(args.dataset_name_train, args.img_folder)
