@@ -150,3 +150,20 @@ class TestBenchDriverEndToEnd:
         assert "pair-pipelined" in rec["metric"]
         assert "timing_checks" in rec
         assert "ladder" not in proc.stderr  # no fallback rung fired
+
+
+def test_entry_is_backend_free():
+    """entry() must construct its (fn, args) WITHOUT touching any device backend
+    (numpy leaves only): with a dead TPU tunnel even a jnp.zeros would hang the
+    driver's compile-check before it applies its own timeout handling."""
+    import numpy as np
+
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    import jax
+
+    leaves = jax.tree.leaves(args)
+    assert leaves, "no example args"
+    assert all(isinstance(l, np.ndarray) for l in leaves), {
+        type(l) for l in leaves if not isinstance(l, np.ndarray)}
