@@ -173,3 +173,33 @@ def test_save_callbacks(tmp_path):
     assert out.is_dir() and any(f.suffix == ".safetensors" for f in out.iterdir())
     jobs = [json.loads(l) for l in (tmp_path / "jobs" / "benchmark_jobs.jsonl").read_text().splitlines()]
     assert jobs[0]["step"] == 50 and "cli.infer" in " ".join(jobs[0]["cmd"])
+
+
+def test_load_sft_hf_dataset_roundtrip(tmp_path):
+    """The reference stores SFT data as an HF dataset (load_from_disk, SFT.py:181);
+    load_sft_dataset must ingest that directory format identically to jsonl."""
+    import json
+
+    from datasets import Dataset
+
+    from zoomearth_tpu.train.data import load_sft_dataset, load_sft_jsonl
+
+    rows = [
+        {"question": "what is here?", "cut": True, "global": "a port scene",
+         "stage_1_reasoning": "think1", "area": "top left", "bbox": [1.0, 2.0, 30.0, 40.0],
+         "stage_2_reasoning": "think2", "ground_truth": "ship", "image_name": "a.png"},
+        {"question": "how many?", "cut": False, "global": "farmland",
+         "stage_1_reasoning": "t", "area": "", "bbox": [],
+         "stage_2_reasoning": "", "ground_truth": "3", "image_name": "b.png"},
+    ]
+    hf_dir = tmp_path / "hf_ds"
+    Dataset.from_list(rows).save_to_disk(str(hf_dir))
+    jsonl = tmp_path / "same.jsonl"
+    with open(jsonl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    from_hf = load_sft_dataset(str(hf_dir), "imgs")
+    from_jsonl = load_sft_dataset(str(jsonl), "imgs")
+    assert from_hf == from_jsonl
+    assert from_hf[0].cut is True and from_hf[0].global_desc == "a port scene"
+    assert from_hf[0].image_path == "imgs/a.png"

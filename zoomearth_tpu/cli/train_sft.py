@@ -9,7 +9,7 @@ import argparse
 import jax
 
 from ..parallel.mesh import make_mesh
-from ..train.data import load_sft_jsonl
+from ..train.data import load_sft_dataset
 from ..train.sft import SFTConfig
 from ..train.sft_loop import SFTLoopConfig, train_sft
 from .common import load_model_and_processor
@@ -53,7 +53,9 @@ def main(argv=None):
         initialize(args.coordinator_address, args.num_processes, args.process_id)
     params, cfg, processor = load_model_and_processor(args.model_name, max_pixels=args.max_pixels)
     mesh = make_mesh(data=-1, fsdp=args.fsdp, tensor=args.tensor) if len(jax.devices()) > 1 else None
-    dataset = load_sft_jsonl(args.dataset_name_train, args.img_folder)
+    # jsonl file OR an HF dataset directory (the reference's load_from_disk format,
+    # SFT.py:181) — auto-detected
+    dataset = load_sft_dataset(args.dataset_name_train, args.img_folder)
     sft_cfg = SFTConfig(
         learning_rate=args.lr, warmup_steps=args.warmup_steps,
         weight_decay=args.weight_decay, max_grad_norm=args.max_grad_norm,

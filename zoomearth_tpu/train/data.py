@@ -92,6 +92,40 @@ def load_sft_jsonl(path: str, image_folder: str) -> List[SFTSample]:
     return out
 
 
+def load_sft_hf(path: str, image_folder: str) -> List[SFTSample]:
+    """SFT rows from an HF dataset directory (`datasets.load_from_disk`) — the
+    reference's actual storage format (SFT.py:181 `load_from_disk(dataset_path)`),
+    so a checkpointed reference dataset drops in unconverted. Same field mapping as
+    load_sft_jsonl (SFT.py:133-170)."""
+    from datasets import load_from_disk
+
+    ds = load_from_disk(path)
+    out: List[SFTSample] = []
+    for d in ds:
+        out.append(
+            SFTSample(
+                question=d.get("question", ""),
+                cut=bool(d.get("cut", False)),
+                global_desc=d.get("global", ""),
+                stage_1_reasoning=d.get("stage_1_reasoning", ""),
+                area=d.get("area", ""),
+                bbox=list(d.get("bbox", []) or []),
+                stage_2_reasoning=d.get("stage_2_reasoning", ""),
+                ground_truth=d.get("ground_truth", ""),
+                image_name=d.get("image_name", ""),
+                image_path=os.path.join(image_folder, os.path.basename(d.get("image_name", ""))),
+            )
+        )
+    return out
+
+
+def load_sft_dataset(path: str, image_folder: str) -> List[SFTSample]:
+    """Auto-detect: HF dataset directory (reference format) vs jsonl file."""
+    if os.path.isdir(path):
+        return load_sft_hf(path, image_folder)
+    return load_sft_jsonl(path, image_folder)
+
+
 def batched(seq: Sequence, batch_size: int, *, drop_last: bool = False) -> Iterator[list]:
     batch = []
     for item in seq:
