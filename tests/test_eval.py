@@ -283,3 +283,33 @@ def test_run_inference_pipelined_asymmetric_budgets(tmp_path, monkeypatch):
         # stage-2 budget respected: decoded token count <= 6 (FakeTokenizer is
         # byte-level, so compare via re-encode of the stage-2 text)
         assert len(tk.encode(a["stage2"])) <= 6 + 2
+
+
+def test_lrs_gro_hf_dataset_dir(tmp_path):
+    """The reference eval split is a saved HF dataset (infer.py:91 load_from_disk);
+    load_lrs_gro_jsonl must accept that directory format next to jsonl files."""
+    from datasets import Dataset
+
+    from zoomearth_tpu.train.data import load_lrs_gro_jsonl
+
+    rows = [
+        {"question_id": "7", "image_name": "x.png", "category": "c",
+         "question": "what?", "higher_level": "perception", "ground_truth": "dock",
+         "bbox": [1.0, 2.0, 3.0, 4.0], "type": "object"},
+        {"question_id": "8", "image_name": "y.png", "category": "c",
+         "question": "count?", "higher_level": "reasoning", "ground_truth": "2",
+         "bbox": [], "type": "global"},
+    ]
+    hf_dir = tmp_path / "test_split"
+    Dataset.from_list(rows).save_to_disk(str(hf_dir))
+    jsonl = tmp_path / "same.jsonl"
+    with open(jsonl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    from_hf = load_lrs_gro_jsonl([str(hf_dir)], ["imgs"])
+    from_jsonl = load_lrs_gro_jsonl([str(jsonl)], ["imgs"])
+    assert from_hf == from_jsonl
+    assert from_hf[0].image_path == "imgs/x.png"
+    # mixed `:`-separated sources compose (reference grpo_jsonl multi-dataset)
+    mixed = load_lrs_gro_jsonl([str(hf_dir), str(jsonl)], ["a", "b"])
+    assert len(mixed) == 4

@@ -24,17 +24,29 @@ class LRSGROSample:
     image_path: Optional[str] = None
 
 
+def _lrs_gro_rows(path: str):
+    """Row dicts from a jsonl file OR an HF dataset directory (auto-detected) —
+    the reference uses BOTH formats: rl.jsonl for training (grpo_jsonl.py:961-974)
+    and a saved HF dataset for the eval split (infer.py:91 load_from_disk)."""
+    if os.path.isdir(path):
+        from datasets import load_from_disk
+
+        yield from load_from_disk(path)
+        return
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                yield json.loads(line)
+
+
 def load_lrs_gro_jsonl(paths: Sequence[str], image_folders: Sequence[str]) -> List[LRSGROSample]:
-    """Load `:`-separated jsonl datasets joined with their image folders
-    (reference grpo_jsonl.py:961-974: image_name -> image_path under the folder)."""
-    assert len(paths) == len(image_folders), "one image folder per jsonl file"
+    """Load `:`-separated datasets (jsonl files or HF dataset dirs) joined with
+    their image folders (reference grpo_jsonl.py:961-974: image_name -> image_path
+    under the folder)."""
+    assert len(paths) == len(image_folders), "one image folder per dataset"
     out: List[LRSGROSample] = []
     for path, folder in zip(paths, image_folders):
-        with open(path) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                d = json.loads(line)
+        for d in _lrs_gro_rows(path):
                 out.append(
                     LRSGROSample(
                         question_id=str(d.get("question_id", "")),
