@@ -108,3 +108,37 @@ def test_queue_drainer_failed_infer_skips_score(tmp_path):
     assert not marker.exists()  # score never ran
     rec = json.loads((tmp_path / "led.jsonl").read_text())
     assert rec["ok"] is False and rec["rcs"] == [2]
+
+
+def test_queue_drainer_timeout_is_ledgered(tmp_path):
+    """A hung job must be ledgered as failed (rc -9), or a cron-driven drainer
+    re-picks it forever."""
+    import sys
+
+    from zoomearth_tpu.cli.run_benchmarks import main as drain
+
+    queue = tmp_path / "q.jsonl"
+    job = {"benchmark": "hang", "step": 1, "checkpoint": "/c",
+           "cmd": [sys.executable, "-c", "import time; time.sleep(30)"]}
+    with open(queue, "w") as f:
+        f.write(json.dumps(job) + "\n")
+    drain(["--queue", str(queue), "--ledger", str(tmp_path / "led.jsonl"),
+           "--timeout", "1"])
+    rec = json.loads((tmp_path / "led.jsonl").read_text())
+    assert rec["ok"] is False and rec["rcs"] == [-9]
+    # idempotent skip on the next drain
+    drain(["--queue", str(queue), "--ledger", str(tmp_path / "led.jsonl"),
+           "--timeout", "1"])
+    assert len((tmp_path / "led.jsonl").read_text().splitlines()) == 1
+
+
+def test_infer_cli_writes_where_score_cmd_reads(tmp_path):
+    """The job's score_cmd must point at the exact file the infer cmd writes
+    (out_dir + exp_name + rank suffix)."""
+    from zoomearth_tpu.cli.infer import build_parser
+
+    job = BM.build_job("lrs_gro", "/ckpt", step=5, out_dir=str(tmp_path))
+    args = build_parser().parse_args(job["cmd"][3:])
+    written = f"{args.out_dir}/{args.exp_name}{args.rank}.jsonl"
+    scored = job["score_cmd"][job["score_cmd"].index("--results_file") + 1]
+    assert written == scored, (written, scored)

@@ -335,3 +335,77 @@ def test_admission_failure_does_not_kill_pump(params):
         assert engine.get_completion("p1", timeout=60).finish_reason in ("stop", "length")
     finally:
         engine.stop()
+
+
+def test_partial_batch_failure_does_not_rerun_committed_rows(params):
+    """r5 review fix: a patch-cap split runs groups sequentially; when a later group
+    fails, rows already committed (slot active, first token emitted) must NOT be
+    re-run by the isolation retry — a re-run would resample their first token and
+    double-fire on_tokens."""
+    from zoomearth_tpu.serve.engine import Continuation
+
+    engine = ServingEngine(
+        params, CFG, max_slots=3, max_seq_len=512, decode_chunk=2,
+        cache_dtype="float32", length_buckets=(64,), patch_buckets=(0, 16),
+    )
+    emissions = []
+    engine.on_tokens = lambda rid, toks: emissions.append(rid)
+    engine.start()
+    try:
+        ids0, _ = _prompt(21, 5)
+        engine.submit(Request(request_id="parent", token_ids=ids0, images=[],
+                              max_tokens=3, hold_slot=True))
+        assert engine.get_completion("parent", timeout=60).finish_reason in ("stop", "length")
+        engine.stop()  # stage the co-admission deterministically
+        # two 16-patch image requests + a poison continuation (over-bucket chunk):
+        # combined patches (32) exceed patch_buckets[-1]=16, so the batch takes the
+        # split path — group [img1] COMMITS (slot active, first token emitted), then
+        # the group holding the poison raises
+        ids1, imgs1 = _prompt(22, 5, grid=(1, 4, 4))
+        engine.submit(Request(request_id="img1", token_ids=ids1, images=imgs1,
+                              max_tokens=3))
+        ids2, imgs2 = _prompt(23, 7, grid=(1, 4, 4))
+        engine.submit(Request(request_id="img2", token_ids=ids2, images=imgs2,
+                              max_tokens=3))
+        engine.submit_continuation(Continuation(
+            request_id="poison", parent_request_id="parent",
+            chunk_ids=list(np.random.default_rng(0).integers(1, 400, size=80)),
+            images=[], kept_tokens=0, max_tokens=3,
+        ))
+        engine.start()
+        cp = engine.get_completion("poison", timeout=60)
+        c1 = engine.get_completion("img1", timeout=60)
+        c2 = engine.get_completion("img2", timeout=60)
+        assert cp.finish_reason == "error"
+        assert c1.finish_reason in ("stop", "length"), c1
+        assert c2.finish_reason in ("stop", "length"), c2
+        # the committed row's token emissions are consistent with ONE prefill +
+        # decode chunks — a retry re-run would double-emit its first token
+        n1 = sum(1 for r in emissions if r == "img1")
+        assert n1 <= 1 + len(c1.token_ids), (n1, c1)
+        # engine still serves
+        ids2, _ = _prompt(23, 6)
+        engine.submit(Request(request_id="after", token_ids=ids2, images=[], max_tokens=3))
+        assert engine.get_completion("after", timeout=60).finish_reason in ("stop", "length")
+    finally:
+        engine.stop()
+
+
+def test_submit_accepts_prefix_request_with_long_prompt(params):
+    """The submit guard applies to the post-prefix CHUNK: a prefix-KV request whose
+    full prompt exceeds the largest bucket but whose chunk fits must be accepted
+    (a prefix hit only prefills the chunk); on a prefix MISS it fails safely via
+    admission containment instead of hanging."""
+    engine = ServingEngine(params, CFG, max_slots=1, max_seq_len=512,
+                           cache_dtype="float32", length_buckets=(64,), patch_buckets=(0,))
+    rng = np.random.default_rng(3)
+    long_ids = [CFG.tokens.im_start] + list(rng.integers(1, 400, size=100))
+    engine.submit(Request(request_id="pfx", token_ids=long_ids, images=[],
+                          max_tokens=4, prefix_key="shared-sys", prefix_len=80))
+    engine.run_until_idle()
+    # miss path: full 101-token prefill exceeds the 64 bucket -> contained error
+    assert engine.get_completion("pfx", timeout=5).finish_reason == "error"
+    # non-prefix request with the same prompt stays rejected at submit
+    with pytest.raises(ValueError, match="largest prefill bucket"):
+        engine.submit(Request(request_id="plain", token_ids=long_ids, images=[],
+                              max_tokens=4))

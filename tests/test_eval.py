@@ -313,3 +313,18 @@ def test_lrs_gro_hf_dataset_dir(tmp_path):
     # mixed `:`-separated sources compose (reference grpo_jsonl multi-dataset)
     mixed = load_lrs_gro_jsonl([str(hf_dir), str(jsonl)], ["a", "b"])
     assert len(mixed) == 4
+
+
+def test_hf_datasetdict_dir_gives_actionable_error(tmp_path):
+    from datasets import Dataset, DatasetDict
+
+    from zoomearth_tpu.train.data import load_lrs_gro_jsonl
+
+    dd = DatasetDict({"test": Dataset.from_list([{"question_id": "1"}])})
+    path = tmp_path / "dd"
+    dd.save_to_disk(str(path))
+    with pytest.raises(ValueError, match="split subdirectory"):
+        load_lrs_gro_jsonl([str(path)], ["imgs"])
+    # the suggested split path works
+    rows = load_lrs_gro_jsonl([str(path / "test")], ["imgs"])
+    assert rows[0].question_id == "1"

@@ -136,3 +136,30 @@ def test_paired_unequal_temperatures(generator):
     for w in range(n_waves):
         assert got[w][0] == ref[w][0], f"wave {w} stage-1 mismatch"
         assert all(len(t) <= 4 for t in got[w][1])
+
+
+def test_bootstrap_skips_dummy_rest_tail():
+    """With gen2 > gen1, the bootstrap wave's dummy partner must not compile a
+    throwaway solo-tail program (attend=None, 40-250 s each on a remote-compile
+    tunnel)."""
+    params = init_vlm_params(jax.random.key(1), CFG)
+    gen = Generator(params, CFG, max_cache_len=64, cache_dtype="float32")
+    gen1 = GenerationConfig(max_new_tokens=3, temperature=0.0)
+    gen2 = GenerationConfig(max_new_tokens=6, temperature=0.0)
+    s1, s2 = _mk_hooks(gen, 2, 2)
+    calls = []
+    orig = gen.run_decode
+    gen.run_decode = lambda *a, **kw: (calls.append(kw.get("done0")), orig(*a, **kw))[1]
+    try:
+        got = {}
+        run_paired_waves(gen, 2, s1, s2, gen1=gen1, gen2=gen2, seed=0,
+                         on_complete=lambda w, o1, o2: got.__setitem__(w, (o1, o2)))
+    finally:
+        gen.run_decode = orig
+    # one rest-tail per REAL stage-2 group: waves 1..n-1 plus the drain = n_waves;
+    # the bootstrap dummy (all rows pre-done) must not add a call
+    assert len(calls) == 2, len(calls)
+    # and the episodes still match the sequential reference
+    ref = _sequential_reference(gen, 2, 2, gen1, gen2, seed=0)
+    for w in range(2):
+        assert got[w][0] == ref[w][0] and got[w][1] == ref[w][1], f"wave {w}"

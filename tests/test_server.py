@@ -255,3 +255,25 @@ def test_streaming_timeout_terminates_in_protocol(server):
     assert events[-1] == "[DONE]"
     chunks = [json.loads(e) for e in events[:-1]]  # every event is valid JSON
     assert chunks[-1]["error"]["type"] == "TimeoutError"
+
+
+def test_streaming_over_bucket_prompt_errors_in_protocol(server):
+    """A submit-time rejection (prompt over the largest prefill bucket) lands AFTER
+    the SSE headers; the stream must end with an in-protocol error event + [DONE],
+    never an HTTP 400 status line."""
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    conn.request("POST", "/v1/chat/completions",
+                 json.dumps({"messages": [{"role": "user", "content": "w " * 250}],
+                             "max_tokens": 2, "stream": True}),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200  # headers were already committed
+    raw = resp.read().decode()
+    conn.close()
+    assert "HTTP/" not in raw
+    events = [l[len("data: "):] for l in raw.split("\n\n") if l.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    chunks = [json.loads(e) for e in events[:-1]]
+    assert chunks[-1]["error"]["type"] == "ValueError"
+    # either submit-time rejection (max_seq_len or largest-bucket) ends in-protocol
+    assert "exceeds" in chunks[-1]["error"]["message"]

@@ -63,9 +63,17 @@ def main(argv=None):
             if not cmd:
                 continue
             print(f"[{_job_key(job)}] {cmd_key}: {' '.join(cmd)}", flush=True)
-            proc = subprocess.run(cmd, timeout=args.timeout or None)
-            rcs.append(proc.returncode)
-            if proc.returncode != 0:
+            try:
+                proc = subprocess.run(cmd, timeout=args.timeout or None)
+                rc = proc.returncode
+            except subprocess.TimeoutExpired:
+                # a hung job must be LEDGERED as failed, or a cron-driven drainer
+                # re-picks it forever and never progresses past it
+                print(f"[{_job_key(job)}] {cmd_key} timed out after {args.timeout}s",
+                      flush=True)
+                rc = -9
+            rcs.append(rc)
+            if rc != 0:
                 break  # don't score a failed inference
         record = {"job": job, "rcs": rcs, "ok": all(r == 0 for r in rcs),
                   "wall_s": round(time.time() - t0, 1), "finished_at": time.time()}

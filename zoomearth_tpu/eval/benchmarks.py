@@ -68,13 +68,16 @@ def build_job(benchmark: str, ckpt_dir: str, *, step: int = 0,
     points the suite at its own dataset copy)."""
     spec = BENCHMARKS[benchmark]
     exp = f"{benchmark}-step{step:06d}"
-    results = os.path.join(out_dir, f"{exp}.jsonl")
+    # cli/infer writes {out_dir}/{exp_name}{rank}.jsonl (reference per-rank
+    # convention, infer.py:165); jobs run single-process, so score rank 0's file
+    results = os.path.join(out_dir, f"{exp}0.jsonl")
     infer_cmd = [
         sys.executable, "-m", "zoomearth_tpu.cli.infer",
         "--model_name", ckpt_dir,
         "--data_file", data_file or spec.data_file,
         "--image_folder", image_folder if image_folder is not None else spec.image_folder,
         "--exp_name", exp,
+        "--out_dir", out_dir,
         *spec.extra_infer_args,
     ]
     job = {

@@ -120,9 +120,11 @@ def run_paired_waves(
             temperature_b=gen2.temperature, top_p_b=gen2.top_p,
             seed=seed + 2 * w,
         )
-        if rest2 > 0:
-            # stage 2 is the LONGER budget: it finishes its remaining tokens solo
-            # (the bootstrap dummy's rows start done, so its tail exits in 0 steps)
+        if rest2 > 0 and pending is not None:
+            # stage 2 is the LONGER budget: it finishes its remaining tokens solo.
+            # Skipped on the bootstrap wave — its dummy partner's output is
+            # discarded, and the dummy's attend=None would compile a solo-decode
+            # program no real wave reuses (40-250 s each on a remote-compile tunnel)
             rest_b, _ = gen.run_decode(
                 lb2, cache_b2, np.asarray(group_b[2]) + steps, g_rest2,
                 seed=seed + 2 * w + 1, attend=group_b[3], done0=done_b,

@@ -122,6 +122,9 @@ class _PrefillRow:
     use_prefix: Optional[str] = None  # prefix-store key whose KV seeds this slot
     save_prefix: Optional[str] = None  # store [0, prefix_len) KV under this key after
     prefix_next_pos: int = 0  # M-RoPE position after the prefix span (save path)
+    done: bool = False  # set once this row's prefill fully committed (slot activated);
+    #                     step()'s failure-isolation retry skips done rows (a split
+    #                     batch can succeed group 1, then raise in group 2)
 
 
 @dataclasses.dataclass
@@ -713,11 +716,17 @@ class ServingEngine:
                 f"request {request.request_id}: prompt ({len(request.token_ids)}) + "
                 f"max_tokens ({request.max_tokens}) exceeds max_seq_len ({self.max_seq_len})"
             )
-        if len(request.token_ids) > self.length_buckets[-1]:
-            # reject at the submission boundary (the caller gets a clean error, e.g.
-            # an HTTP 400) instead of poisoning a whole admission batch in the pump
+        # reject at the submission boundary (the caller gets a clean error, e.g. an
+        # HTTP 400) instead of poisoning an admission batch in the pump. A prefix-KV
+        # request only prefills its post-prefix chunk on a hit, so the guard applies
+        # to that chunk — a prefix MISS with an over-bucket full prompt still fails
+        # safely via the pump's admission containment (finish_reason="error").
+        chunk_len = len(request.token_ids)
+        if request.prefix_key and request.prefix_len:
+            chunk_len -= request.prefix_len
+        if chunk_len > self.length_buckets[-1]:
             raise ValueError(
-                f"request {request.request_id}: prompt ({len(request.token_ids)}) "
+                f"request {request.request_id}: prefill chunk ({chunk_len}) "
                 f"exceeds the largest prefill bucket ({self.length_buckets[-1]})"
             )
         self.queue.put(request)
@@ -977,6 +986,7 @@ class ServingEngine:
             slot.prompt_len = r.prompt_len
             slot.prompt_next_pos = int(new_next[j])
             self.active[b] = True
+            r.done = True  # committed: failure-isolation retries must skip this row
             if self.on_tokens is not None and t not in self._stop_tokens:
                 self.on_tokens(r.request.request_id, [t])
             if t in self._stop_tokens or slot.remaining <= 0:
@@ -1101,12 +1111,19 @@ class ServingEngine:
                     try:
                         self._run_prefill_batch(rows)
                     except Exception as e:  # noqa: BLE001
-                        if len(rows) == 1:
-                            self._fail_admission(prepped, e)
+                        # rows already committed before the failure (a patch-cap
+                        # split runs groups sequentially — group 1 may have
+                        # activated its slots and emitted first tokens) must NOT
+                        # re-run: a retry would resample their first token and
+                        # double-fire on_tokens/_finish
+                        pending_rows = [(row, pi) for row, pi in zip(rows, prepped)
+                                        if not row.done]
+                        if len(pending_rows) == 1:
+                            self._fail_admission([pending_rows[0][1]], e)
                         else:
                             # isolate the poison row(s): each row retries in its own
                             # single-row batch; only genuine offenders error out
-                            for row, pi in zip(rows, prepped):
+                            for row, pi in pending_rows:
                                 try:
                                     self._run_prefill_batch([row])
                                 except Exception as e2:  # noqa: BLE001

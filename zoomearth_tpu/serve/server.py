@@ -219,12 +219,26 @@ class OpenAIServer:
             handler.end_headers()
             handler.wfile.write(chunk({"role": "assistant"}))
             handler.wfile.flush()
-            self.engine.submit(Request(
-                request_id=req_id, token_ids=ids, images=prepped,
-                max_tokens=int(payload.get("max_tokens", 256)),
-                temperature=float(payload.get("temperature", 0.0)),
-                top_p=float(payload.get("top_p", 1.0)),
-            ))
+            try:
+                self.engine.submit(Request(
+                    request_id=req_id, token_ids=ids, images=prepped,
+                    max_tokens=int(payload.get("max_tokens", 256)),
+                    temperature=float(payload.get("temperature", 0.0)),
+                    top_p=float(payload.get("top_p", 1.0)),
+                ))
+            except ValueError as e:
+                # submit-time rejection (over-bucket prompt): the SSE headers are
+                # already on the wire, so end the stream in-protocol — re-raising
+                # would let do_POST write an HTTP 400 into the open event stream
+                err = {
+                    "id": req_id, "object": "chat.completion.chunk",
+                    "created": created, "model": model, "choices": [],
+                    "error": {"message": str(e), "type": "ValueError"},
+                }
+                handler.wfile.write(f"data: {json.dumps(err)}\n\n".encode())
+                handler.wfile.write(b"data: [DONE]\n\n")
+                handler.wfile.flush()
+                return
             deadline = time.time() + self.request_timeout
             acc: List[int] = []
             sent = ""

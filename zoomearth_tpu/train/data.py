@@ -29,14 +29,26 @@ def _lrs_gro_rows(path: str):
     the reference uses BOTH formats: rl.jsonl for training (grpo_jsonl.py:961-974)
     and a saved HF dataset for the eval split (infer.py:91 load_from_disk)."""
     if os.path.isdir(path):
-        from datasets import load_from_disk
-
-        yield from load_from_disk(path)
+        yield from _load_hf_split(path)
         return
     with open(path) as f:
         for line in f:
             if line.strip():
                 yield json.loads(line)
+
+
+def _load_hf_split(path: str):
+    """load_from_disk that gives an actionable error for DatasetDict directories
+    (iterating one yields split-name STRINGS — a confusing AttributeError later)."""
+    from datasets import DatasetDict, load_from_disk
+
+    ds = load_from_disk(path)
+    if isinstance(ds, DatasetDict):
+        raise ValueError(
+            f"{path} is a DatasetDict with splits {list(ds)}; pass the split "
+            f"subdirectory instead (e.g. {os.path.join(path, list(ds)[0])})"
+        )
+    return ds
 
 
 def load_lrs_gro_jsonl(paths: Sequence[str], image_folders: Sequence[str]) -> List[LRSGROSample]:
@@ -109,9 +121,7 @@ def load_sft_hf(path: str, image_folder: str) -> List[SFTSample]:
     reference's actual storage format (SFT.py:181 `load_from_disk(dataset_path)`),
     so a checkpointed reference dataset drops in unconverted. Same field mapping as
     load_sft_jsonl (SFT.py:133-170)."""
-    from datasets import load_from_disk
-
-    ds = load_from_disk(path)
+    ds = _load_hf_split(path)
     out: List[SFTSample] = []
     for d in ds:
         out.append(
