@@ -57,6 +57,24 @@ WAVES = int(os.environ.get("BENCH_WAVES", "2" if _TINY else "3"))  # timed waves
 _TILE_PX = int(os.environ.get("BENCH_TILE_PX", "150" if _TINY else "5000"))
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache shared across bench processes. Remote-tunnel
+    compiles cost 100-250 s per shape and are NOT shared between processes without
+    this (measured r4: the 124k-patch ViT loads in 58 s warm vs many minutes cold);
+    it also makes a fallback-ladder re-exec pay only for the shapes its rung
+    actually changes. BENCH_COMPILE_CACHE=0 disables; any other value overrides
+    the directory."""
+    import jax
+
+    cache_dir = os.environ.get("BENCH_COMPILE_CACHE") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_jax_cache")
+    if cache_dir == "0":
+        return
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def synthetic_tile(seed, size=_TILE_PX):
     rng = np.random.default_rng(seed)
     small = rng.integers(0, 255, (50, 50, 3), dtype=np.uint8)
@@ -78,6 +96,7 @@ def main_engine():
     import jax.numpy as jnp
     from PIL import Image
 
+    _enable_compile_cache()
     from zoomearth_tpu.config import VLMConfig
     from zoomearth_tpu.agent.processor import Processor
     from zoomearth_tpu.serve import episodes as EP
@@ -188,6 +207,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    _enable_compile_cache()
     from zoomearth_tpu.config import VLMConfig
     from zoomearth_tpu.image.loader import PrefetchLoader, TileImage
     from zoomearth_tpu.image.preprocess import preprocess_image_u8
