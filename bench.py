@@ -464,6 +464,10 @@ def main():
     pair = _pair_mode
     if os.environ.get("BENCH_FORCE_FAIL") == "1" and PREFIX_KV:
         raise RuntimeError("forced failure (fallback-ladder test hook)")
+    if os.environ.get("BENCH_FORCE_FAIL") == "pipeline" and _PIPELINE:
+        # fails every pipelined rung: exercises the full ladder chain down to the
+        # non-pipelined final rung
+        raise RuntimeError("forced failure (fallback-ladder test hook: pipelined rungs)")
     if not pair:
         # Two warmup waves: one to compile every program, one more to flush any
         # first-steady-state effects (transfer buffer setup, donation aliasing). Compiles
@@ -730,10 +734,17 @@ def _fallback_ladder():
         env["BENCH_PREFIX_KV"] = "0"
     elif env.get("BENCH_PAIR", "1") == "1" and _PIPELINE:
         env["BENCH_PAIR"] = "0"
+    elif _PIPELINE:
+        # final rung: non-pipelined waves — the longest-validated configuration
+        # (r3's driver-captured 5.03-5.62 q/s ran here); one resident KV cache,
+        # no pair program, no prefix seeding
+        env["BENCH_PIPELINE"] = "0"
+        env.pop("BENCH_BATCH", None)  # let the mode pick its own default (64)
     else:
         return False
-    print(f"bench: retrying one rung down (PREFIX_KV={env.get('BENCH_PREFIX_KV')} "
-          f"PAIR={env.get('BENCH_PAIR')})", file=sys.stderr, flush=True)
+    print(f"bench: retrying one rung down (PIPELINE={env.get('BENCH_PIPELINE', '1')} "
+          f"PREFIX_KV={env.get('BENCH_PREFIX_KV')} PAIR={env.get('BENCH_PAIR')})",
+          file=sys.stderr, flush=True)
     os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
 
 

@@ -167,3 +167,31 @@ def test_entry_is_backend_free():
     assert leaves, "no example args"
     assert all(isinstance(l, np.ndarray) for l in leaves), {
         type(l) for l in leaves if not isinstance(l, np.ndarray)}
+
+
+class TestFallbackLadderChain:
+    def test_ladder_descends_to_non_pipelined_rung(self, tmp_path):
+        """With every pipelined rung forced to fail, the ladder must walk
+        prefix+pair -> pair -> plain-pipelined -> NON-PIPELINED (the r3
+        driver-captured configuration) and still emit a valid JSON line."""
+        import subprocess
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env.update({
+            "PYTHONPATH": repo, "JAX_PLATFORMS": "cpu",
+            "JAX_COMPILATION_CACHE_DIR": os.path.join(repo, "tests", ".jax_cache"),
+            "BENCH_TINY": "1", "BENCH_FORCE_FAIL": "pipeline",
+            "BENCH_WAVES": "2", "BENCH_S1_NEW": "8", "BENCH_S2_NEW": "6",
+            "BENCH_TILE_PX": "150", "BENCH_BATCH": "4",
+        })
+        env.pop("XLA_FLAGS", None)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py")],
+            capture_output=True, text=True, timeout=540, env=env, cwd=repo,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert proc.stderr.count("retrying one rung down") == 3
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert "pipelined" not in rec["metric"]
+        assert rec["value"] > 0
