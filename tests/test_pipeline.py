@@ -163,3 +163,24 @@ def test_bootstrap_skips_dummy_rest_tail():
     ref = _sequential_reference(gen, 2, 2, gen1, gen2, seed=0)
     for w in range(2):
         assert got[w][0] == ref[w][0] and got[w][1] == ref[w][1], f"wave {w}"
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_paired_random_budget_combinations(generator, seed):
+    """Property: for ANY (gen1, gen2) budget combination the pair runner's greedy
+    tokens equal the sequential reference (catches off-by-ones in the joint-steps /
+    solo-tail split logic)."""
+    rng = np.random.default_rng(seed)
+    n1 = int(rng.integers(1, 9))
+    n2 = int(rng.integers(1, 9))
+    n_waves = int(rng.integers(1, 4))
+    gen1 = GenerationConfig(max_new_tokens=n1, temperature=0.0)
+    gen2 = GenerationConfig(max_new_tokens=n2, temperature=0.0)
+    s1, s2 = _mk_hooks(generator, 2, n_waves)
+    got = {}
+    run_paired_waves(generator, n_waves, s1, s2, gen1=gen1, gen2=gen2, seed=0,
+                     on_complete=lambda w, o1, o2: got.__setitem__(w, (o1, o2)))
+    ref = _sequential_reference(generator, 2, n_waves, gen1, gen2, seed=0)
+    for w in range(n_waves):
+        assert got[w][0] == ref[w][0], f"seed {seed} wave {w} stage-1 (n1={n1}, n2={n2})"
+        assert got[w][1] == ref[w][1], f"seed {seed} wave {w} stage-2 (n1={n1}, n2={n2})"
