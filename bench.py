@@ -251,12 +251,20 @@ def main():
             return tile.resize((int(w * scale), int(h * scale)))
         return tile
 
+    # COMPACT single-frame patches (preprocess compact=True + vit_forward kernel
+    # fold): halves every pixel upload — decisive when the tunnel is
+    # bandwidth-degraded (measured 12 MB/s on the r5 relay vs ~60 in r4; the 70 MB
+    # stage-2 crop upload was eating 6 s/wave). BENCH_COMPACT=0 restores the
+    # temporally-duplicated layout.
+    _COMPACT = os.environ.get("BENCH_COMPACT", "1") == "1"
+
     # Stage-1 image work is QUESTION-independent: the real LRS-GRO workload asks ~10.7
     # questions per image (9,734 Q / 908 images, README.md:45-50), so a per-image cache
     # amortizes it across episodes. Waves here re-ask about the same 64 tiles (a
     # conservative 3:1 reuse); tokens/mrope/packing stay per-wave.
     stage1_prepped = [
-        preprocess_image_u8(resize_512(t).array, max_pixels=512 * 512) for t in tiles
+        preprocess_image_u8(resize_512(t).array, max_pixels=512 * 512, compact=_COMPACT)
+        for t in tiles
     ]
     # Per-image VISION-EMBEDDING cache: the stage-1 ViT forward is also
     # question-independent — cache the merged embeddings per tile (device-resident,
@@ -393,7 +401,8 @@ def main():
             bbox = [2200, 2200, 2380, 2350]
             win = crop_window(bbox, t.width, t.height, 512)
             crop = resize_512(t.crop(win))
-            pv2, grid2 = preprocess_image_u8(crop.array, max_pixels=512 * 512)
+            pv2, grid2 = preprocess_image_u8(crop.array, max_pixels=512 * 512,
+                                             compact=_COMPACT)
             dev_pvs.append(jax.device_put(pv2))  # async: overlaps the next crop
             n2 = (grid2[0] * grid2[1] * grid2[2]) // cfg.vision.merge_unit
             chunks.append([tok.vision_start] + [tok.image_pad] * n2 + [tok.vision_end])

@@ -23,11 +23,16 @@ IGNORE_INDEX = -100
 class Processor:
     """Tokenizer + image pipeline front-end for the generation/training runtimes."""
 
-    def __init__(self, tokenizer, cfg: VLMConfig, min_pixels: Optional[int] = None, max_pixels: Optional[int] = None):
+    def __init__(self, tokenizer, cfg: VLMConfig, min_pixels: Optional[int] = None, max_pixels: Optional[int] = None,
+                 compact_patches: bool = False):
         self.tokenizer = tokenizer
         self.cfg = cfg
         self.min_pixels = min_pixels
         self.max_pixels = max_pixels
+        # compact_patches: emit single-frame uint8 patches (half the host->device
+        # bytes; vit_forward folds the patch-embed kernel — see preprocess_image_u8).
+        # Still images only; leave False for video inputs.
+        self.compact_patches = compact_patches
 
     def preprocess_images(self, images: Sequence) -> List[Tuple[np.ndarray, Tuple[int, int, int]]]:
         kw = {}
@@ -42,6 +47,7 @@ class Processor:
                 patch_size=v.patch_size,
                 temporal_patch_size=v.temporal_patch_size,
                 merge_size=v.spatial_merge_size,
+                compact=self.compact_patches,
                 **kw,
             )
             for img in images

@@ -166,13 +166,21 @@ def preprocess_image_u8(
     merge_size: int = 2,
     min_pixels: int = DEFAULT_MIN_PIXELS,
     max_pixels: int = DEFAULT_MAX_PIXELS,
+    compact: bool = False,
 ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
     """Raw-byte preprocessing path: resize + patchify only, NO host normalization.
 
     Returns uint8 (num_patches, patch_dim) — 4x fewer bytes over the host->device
     link than the float32 paths. The ViT normalizes on device (vit_forward detects
     the uint8 dtype), with the numpy op order exactly, so end results are identical
-    to preprocess_image."""
+    to preprocess_image.
+
+    compact=True: emit SINGLE-FRAME patches (patch_dim / temporal_patch_size bytes —
+    another 2x off the link). A still image's temporal copies are byte-identical
+    (HF repeats the frame to fill the conv3d temporal axis), so
+    x_dup @ K == x_compact @ (sum over temporal kernel slices); vit_forward folds
+    the patch-embed kernel on device when it sees the narrow width. Same pixels,
+    same math up to bf16 accumulation order; only for still images (grid_t == 1)."""
     from .. import native
 
     arr = np.asarray(image.convert("RGB") if hasattr(image, "convert") else image)
@@ -182,13 +190,14 @@ def preprocess_image_u8(
     if (h_bar, w_bar) != (h, w):
         arr = resize_bicubic(arr, (h_bar, w_bar))
     grid = (1, h_bar // patch_size, w_bar // patch_size)
+    t_emit = 1 if compact else temporal_patch_size
     if native.available():
         return native.patchify_u8(
-            np.ascontiguousarray(arr), patch_size, temporal_patch_size, merge_size
+            np.ascontiguousarray(arr), patch_size, t_emit, merge_size
         ), grid
     # numpy fallback: same rearrange as patchify() but on raw bytes
     chw = np.transpose(arr, (2, 0, 1))
-    flat, grid2 = patchify(chw, patch_size, temporal_patch_size, merge_size)
+    flat, grid2 = patchify(chw, patch_size, t_emit, merge_size)
     assert grid2 == grid
     return flat.astype(np.uint8), grid
 

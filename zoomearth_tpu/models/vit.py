@@ -305,7 +305,18 @@ def vit_forward(
         mean_col = jnp.asarray(np.repeat(IMAGE_MEAN, reps), jnp.float32)
         std_col = jnp.asarray(np.repeat(IMAGE_STD, reps), jnp.float32)
         pixel_values = (pixel_values.astype(jnp.float32) / 255.0 - mean_col) / std_col
-    x = pixel_values.astype(params["patch_embed"]["kernel"].dtype) @ params["patch_embed"]["kernel"]
+    kernel = params["patch_embed"]["kernel"]
+    if pixel_values.shape[-1] != kernel.shape[0]:
+        # COMPACT single-frame patches (preprocess_image_u8 compact=True): the host
+        # sent [C, 1, ps, ps] bytes instead of the temporally-repeated [C, T, ps, ps].
+        # A still image's temporal copies are identical, so the patch embed folds:
+        # x_dup @ K == x_compact @ (sum over K's temporal row-slices). Kernel rows
+        # are grouped [C, T, ps*ps] (preprocess.patchify layout).
+        t_rep = kernel.shape[0] // pixel_values.shape[-1]
+        per_ch = pixel_values.shape[-1] // cfg.in_channels
+        folded = kernel.astype(jnp.float32).reshape(cfg.in_channels, t_rep, per_ch, -1)
+        kernel = folded.sum(axis=1).reshape(cfg.in_channels * per_ch, -1).astype(kernel.dtype)
+    x = pixel_values.astype(kernel.dtype) @ kernel
     x = jnp.take(x, perm, axis=0)  # into window order
     cos, sin = vision_rope_cos_sin(pos_ids, cfg.head_dim)
     if win_mode == 2:

@@ -768,10 +768,24 @@ class Generator:
                 f"prompt bucket ({S}) + max_new_tokens ({gen.max_new_tokens}) exceeds "
                 f"max_cache_len ({self.max_cache_len})"
             )
+        import os
+        import time
+
+        timing = os.environ.get("ZOOMEARTH_GEN_TIMING") == "1"
+        t0 = time.time()
         first_logits, cache, attend = self.run_prefill(batch, max_new=gen.max_new_tokens)
+        if timing:
+            np.asarray(first_logits[0, :1])  # blocking readback: prefill wall time
+            t2 = time.time()
         tokens, cache = self.run_decode(
             first_logits, cache, batch.next_pos, gen, seed=seed, attend=attend
         )
+        if timing:
+            import sys
+
+            np.asarray(tokens[0, :1])
+            print(f"    [gen1] prefill {t2 - t0:.2f}s | decode {time.time() - t2:.2f}s",
+                  file=sys.stderr)
         if not block:
             return tokens, cache
         tokens.copy_to_host_async()  # see continue_generate: avoids a post-compute RTT

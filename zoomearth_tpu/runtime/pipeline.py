@@ -130,6 +130,12 @@ def run_paired_waves(
                 seed=seed + 2 * w + 1, attend=group_b[3], done0=done_b,
             )
             buf_b = jnp.concatenate([buf_b, rest_b], axis=1)
+        # stage 2 is FINISHED once its token buffer exists: drop the cache/logits
+        # references NOW. Held through the next iteration (the natural rebind point)
+        # the dead stage-2 cache keeps a full (B, Hkv, T, D) KV tree resident during
+        # wave w+1's prefill + chunk-prefill — a third ~2.7 GB cache at 3B/B=48 that
+        # OOM'd v5e the first time pair+prefix ran at real scale (BENCH r5).
+        lb2 = cache_b2 = done_b = group_b = None
         # register the d2h copy at dispatch time: it fires the moment the pair loop
         # completes, while the solo tail still runs (remote tunnels otherwise pay a
         # full extra RTT when the copy is first issued inside np.asarray)
@@ -150,6 +156,7 @@ def run_paired_waves(
                 on_complete(pw, out1_prev, out2_prev)
             else:
                 results.append(PairedWaveResult(pw, out1_prev, out2_prev))
+        buf_b = None  # bootstrap wave: the dummy partner's buffer is never read
         pending = (w, base_lengths, np.asarray(b1.next_pos), toks_dev, cache1)
     # drain: the last wave's stage-2 pairs with an inert dummy stage-1 group
     out1_prev, group_b = stage2_group(pending)
