@@ -75,6 +75,45 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+_ENV_PROBE: dict = {}
+
+
+def _probe_env():
+    """~5 s of tunnel telemetry embedded in the bench JSON: per-dispatch RTT and
+    host->device bandwidth. The same code produced 6.67 q/s (r4 session) and ~0.9
+    (r5 session) purely from relay conditions — rtt 20 ms/bw 60 MB/s vs
+    rtt 40 ms/bw 12 MB/s, with in-model weight streaming degraded ~6x alongside
+    (BASELINE.md 'r5 TPU environment'). Recording the conditions next to the number
+    makes the artifact interpretable. BENCH_NO_ENV_PROBE=1 skips."""
+    if os.environ.get("BENCH_NO_ENV_PROBE") == "1":
+        return
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        f = jax.jit(lambda x: x + 1)
+        x = jnp.zeros((8,), jnp.float32)
+        np.asarray(f(x))  # compile
+        rtts = []
+        for _ in range(5):
+            t0 = time.time()
+            np.asarray(f(x))
+            rtts.append(time.time() - t0)
+        a = np.random.default_rng(0).integers(0, 255, (32 << 20,), dtype=np.uint8)
+        bws = []
+        for _ in range(2):
+            t0 = time.time()
+            jax.block_until_ready(jax.device_put(a))
+            bws.append(time.time() - t0)
+        _ENV_PROBE.update({
+            "rtt_ms": round(float(np.median(rtts)) * 1e3, 1),
+            "h2d_mb_s": round(len(a) / 1e6 / min(bws), 1),
+        })
+        print(f"env probe: {_ENV_PROBE}", file=sys.stderr)
+    except Exception as e:  # telemetry must never fail the bench
+        print(f"env probe failed (ignored): {e}", file=sys.stderr)
+
+
 def synthetic_tile(seed, size=_TILE_PX):
     rng = np.random.default_rng(seed)
     small = rng.integers(0, 255, (50, 50, 3), dtype=np.uint8)
@@ -106,6 +145,7 @@ def main_engine():
     from __graft_entry__ import _zero_params
 
     cfg = VLMConfig.qwen2_5_vl_3b()
+    _probe_env()
     params = _zero_params(cfg, jnp.bfloat16)
     from zoomearth_tpu.ops.quant import fuse_decoder_matmuls
 
@@ -200,6 +240,7 @@ def main_engine():
         "p50_latency_s": round(float(np.percentile(latencies, 50)), 3),
         "p95_latency_s": round(float(np.percentile(latencies, 95)), 3),
         "accuracy_validated": False,  # random weights; PARITY.md runbook is OPEN
+        **({"env": _ENV_PROBE} if _ENV_PROBE else {}),
     }))
 
 
@@ -217,6 +258,7 @@ def main():
     cfg = VLMConfig.tiny() if _TINY else VLMConfig.qwen2_5_vl_3b()
     tok = cfg.tokens
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    _probe_env()
 
     params = _zero_params(cfg, jnp.bfloat16)
     from zoomearth_tpu.ops.quant import fuse_decoder_matmuls
@@ -659,6 +701,7 @@ def main():
         # int8 weight-only serving is the bench default; per-checkpoint accuracy
         # validation (PARITY.md runbook steps 4-5) is OPEN — no weights on disk
         "accuracy_validated": False,
+        **({"env": _ENV_PROBE} if _ENV_PROBE else {}),
     }))
 
 
