@@ -782,7 +782,12 @@ def _fallback_ladder():
     env = dict(os.environ)
     if env.get("BENCH_NO_RETRY") == "1" or env.get("BENCH_MODE") == "engine":
         return False  # the ladder rungs only change wave-mode features
-    if env.get("BENCH_PREFIX_KV", "1") == "1" and env.get("BENCH_PAIR", "1") == "1" and _PIPELINE:
+    if not _PIPELINE and env.get("BENCH_PREFIX_KV") == "1":
+        # flat-mode rung: prefix-KV seeding is opt-in here (frontier lat points) and
+        # its holder adds ~14 MB/row of residency — the one flat config that has
+        # OOM'd at real scale (96-prefix, r5). Retry without it.
+        env["BENCH_PREFIX_KV"] = "0"
+    elif env.get("BENCH_PREFIX_KV", "1") == "1" and env.get("BENCH_PAIR", "1") == "1" and _PIPELINE:
         env["BENCH_PREFIX_KV"] = "0"
     elif env.get("BENCH_PAIR", "1") == "1" and _PIPELINE:
         env["BENCH_PAIR"] = "0"
