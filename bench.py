@@ -114,6 +114,37 @@ def _probe_env():
         print(f"env probe failed (ignored): {e}", file=sys.stderr)
 
 
+def _build_serving_params(cfg):
+    """Serving param tree (fused-matmul layout; int8 weights unless BENCH_NO_INT8=1)
+    built entirely ON DEVICE as one jitted program: zero-fill -> fuse -> quantize.
+    No host->device weight transfer — the numpy zeros tree this replaces cost ~370 s
+    of upload per process through the degraded r5 relay (6.2 GB bf16 over ~17 MB/s,
+    BASELINE.md 'r5 TPU environment'); the fill program is one dispatch and
+    milliseconds of device time. Values stay zero (throughput is value-independent,
+    module docstring); only safe after _probe_backend confirmed liveness."""
+    import jax
+    import jax.numpy as jnp
+
+    from zoomearth_tpu.models.params import init_vlm_params
+    from zoomearth_tpu.ops.quant import fuse_decoder_matmuls, quantize_decoder_int8
+
+    shapes = jax.eval_shape(
+        lambda: init_vlm_params(jax.random.key(0), cfg, dtype=jnp.bfloat16))
+    int8 = os.environ.get("BENCH_NO_INT8") != "1"
+
+    def build():
+        p = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        p = fuse_decoder_matmuls(p)  # serving layout: fewer decode dispatches
+        if int8:
+            p = quantize_decoder_int8(p, lm_head=True)  # weight-only int8 serving
+        return p
+
+    t0 = time.time()
+    params = jax.block_until_ready(jax.jit(build)())
+    print(f"device-side param build: {time.time() - t0:.1f}s", file=sys.stderr)
+    return params
+
+
 def synthetic_tile(seed, size=_TILE_PX):
     rng = np.random.default_rng(seed)
     small = rng.integers(0, 255, (50, 50, 3), dtype=np.uint8)
@@ -142,18 +173,10 @@ def main_engine():
     from zoomearth_tpu.serve.engine import ServingEngine
     from zoomearth_tpu.serve.episodes import run_episodes_served
     from zoomearth_tpu.tokenizer import FakeTokenizer
-    from __graft_entry__ import _zero_params
 
     cfg = VLMConfig.qwen2_5_vl_3b()
     _probe_env()
-    params = _zero_params(cfg, jnp.bfloat16)
-    from zoomearth_tpu.ops.quant import fuse_decoder_matmuls
-
-    params = fuse_decoder_matmuls(params)  # serving layout: fewer decode dispatches
-    if os.environ.get("BENCH_NO_INT8") != "1":
-        from zoomearth_tpu.ops.quant import quantize_decoder_int8
-
-        params = quantize_decoder_int8(params, lm_head=True)  # weight-only int8 serving
+    params = _build_serving_params(cfg)
     # single prefill bucket + single nonzero patch bucket: admission batch splits are
     # timing-dependent, and every distinct (S, n_emb) shape is a fresh remote compile —
     # collapse the shape space so the 2 warmup rounds cover every program
@@ -253,21 +276,13 @@ def main():
     from zoomearth_tpu.image.loader import PrefetchLoader, TileImage
     from zoomearth_tpu.image.preprocess import preprocess_image_u8
     from zoomearth_tpu.runtime.generate import GenerationConfig, Generator, prepare_batch
-    from __graft_entry__ import _zero_params
 
     cfg = VLMConfig.tiny() if _TINY else VLMConfig.qwen2_5_vl_3b()
     tok = cfg.tokens
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     _probe_env()
 
-    params = _zero_params(cfg, jnp.bfloat16)
-    from zoomearth_tpu.ops.quant import fuse_decoder_matmuls
-
-    params = fuse_decoder_matmuls(params)  # serving layout: fewer decode dispatches
-    if os.environ.get("BENCH_NO_INT8") != "1":
-        from zoomearth_tpu.ops.quant import quantize_decoder_int8
-
-        params = quantize_decoder_int8(params, lm_head=True)  # weight-only int8 serving
+    params = _build_serving_params(cfg)
     # int8 KV cache (BENCH_KV_INT8=1): halves cache HBM (capacity lever) but MEASURED
     # SLOWER per decode step on v5e (21.3 vs 15.0 ms at B=64 — XLA lowers the batched
     # int8 cache dot through a materialized bf16 convert instead of streaming int8).
