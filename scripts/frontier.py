@@ -30,15 +30,17 @@ CONFIGS = [
     # throughput-optimized: PAIR-pipelined waves (stage-1 decode of wave n co-batched
     # with stage-2 decode of wave n-1; two resident KV caches)
     ("wave-48-pair", {"BENCH_BATCH": "48", "BENCH_PREFIX_KV": "0"}),
-    ("wave-64-pair", {"BENCH_BATCH": "64", "BENCH_PREFIX_KV": "0"}),
     # + per-image [sys+image] KV-prefix cache (reference image-first prompt layout;
-    # the bench DEFAULT = pair + prefix)
-    ("wave-48-pair-prefix", {"BENCH_BATCH": "48"}),
-    ("wave-64-pair-prefix", {"BENCH_BATCH": "64"}),  # shipping default candidate
+    # the bench DEFAULT = pair + prefix). Batch 64 pair variants are MEASURED OOM
+    # (r5: two full 64x1536 caches + the pair bootstrap dummy stack past the
+    # 15.75 GB HBM at the solo-tail dispatch) — plain pipelining is 64's ceiling.
+    ("wave-48-pair-prefix", {"BENCH_BATCH": "48"}),  # shipping default
     # A/B: plain pipelining without the pair co-batch (isolates the pair gain)
     ("wave-48-pipelined", {"BENCH_BATCH": "48", "BENCH_PAIR": "0"}),
-    # production continuous-batching engine (per-episode latencies, slot backfill)
-    ("engine-64", {"BENCH_BATCH": "64", "BENCH_MODE": "engine"}),
+    ("wave-64-pipelined", {"BENCH_BATCH": "64", "BENCH_PAIR": "0"}),
+    # production continuous-batching engine (per-episode latencies, slot backfill);
+    # 64 slots is a measured COMPILE-time OOM (pool prefill 64x768 wants 17.7 GB)
+    ("engine-48", {"BENCH_BATCH": "48", "BENCH_MODE": "engine"}),
 ]
 
 
@@ -54,6 +56,10 @@ def main():
         print(f"=== {name} ===", file=sys.stderr, flush=True)
         e = dict(os.environ)
         e.update(env)
+        # each row must be the config it claims: without this an OOM point would
+        # silently ladder down (bench.py _fallback_ladder) and report a DIFFERENT
+        # mode's number under this row's name
+        e["BENCH_NO_RETRY"] = "1"
         t0 = time.time()
         proc = subprocess.run(
             [sys.executable, "bench.py"], env=e, capture_output=True, text=True,
