@@ -605,12 +605,17 @@ def main():
 
         g1p = GenerationConfig(max_new_tokens=STAGE1_NEW, temperature=0.01)
         g2p = GenerationConfig(max_new_tokens=STAGE2_NEW, temperature=0.01)
+        # batch >= 64: solo bootstrap/drain — the dummy partner's third full KV
+        # cache OOMs v5e at 64x1536 (see run_paired_waves edges=)
+        edges = os.environ.get("BENCH_PAIR_EDGES",
+                               "solo" if BATCH >= 64 else "dummy")
         run_paired_waves(
             gen, N, hook_stage1, hook_stage2,
             gen1=g1p, gen2=g2p, seed=2,
             prefix=(prefix_cache, prefix_keep) if PREFIX_KV else None,
             on_complete=hook_complete,
             on_dispatch=lambda w: dispatch_t.append(time.time()),
+            edges=edges,
         )
         intervals = [complete_t[i] - complete_t[i - 1] for i in range(1, len(complete_t))]
         wave_times = pick_window(intervals)

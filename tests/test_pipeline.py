@@ -165,6 +165,39 @@ def test_bootstrap_skips_dummy_rest_tail():
         assert got[w][0] == ref[w][0] and got[w][1] == ref[w][1], f"wave {w}"
 
 
+@pytest.mark.parametrize("n1,n2,n_waves", [(6, 4, 3), (4, 7, 2), (5, 5, 1)])
+def test_solo_edges_match_dummy_edges(generator, n1, n2, n_waves):
+    """edges="solo" (bootstrap decodes stage 1 solo, drain finishes stage 2 solo —
+    no dummy KV cache ever allocated; the batch>=64 OOM fix, r5) must produce the
+    SAME greedy tokens as the default dummy-partner edges, and must never call
+    new_cache (the dummy allocation)."""
+    gen1 = GenerationConfig(max_new_tokens=n1, temperature=0.0)
+    gen2 = GenerationConfig(max_new_tokens=n2, temperature=0.0)
+    s1, s2 = _mk_hooks(generator, 2, n_waves)
+    allocs = []
+    orig = generator.new_cache
+    generator.new_cache = lambda *a, **kw: (allocs.append(a), orig(*a, **kw))[1]
+    try:
+        got = {}
+        run_paired_waves(generator, n_waves, s1, s2, gen1=gen1, gen2=gen2, seed=0,
+                         edges="solo",
+                         on_complete=lambda w, o1, o2: got.__setitem__(w, (o1, o2)))
+    finally:
+        generator.new_cache = orig
+    assert allocs == [], "solo edges must not allocate a dummy cache"
+    ref = _sequential_reference(generator, 2, n_waves, gen1, gen2, seed=0)
+    for w in range(n_waves):
+        assert got[w][0] == ref[w][0], f"wave {w} stage-1 mismatch"
+        assert got[w][1] == ref[w][1], f"wave {w} stage-2 mismatch"
+
+
+def test_bad_edges_value(generator):
+    with pytest.raises(ValueError):
+        run_paired_waves(generator, 1, _boom, _boom,
+                         gen1=GenerationConfig(max_new_tokens=2),
+                         gen2=GenerationConfig(max_new_tokens=2), edges="nope")
+
+
 @pytest.mark.parametrize("seed", [3, 4, 5])
 def test_paired_random_budget_combinations(generator, seed):
     """Property: for ANY (gen1, gen2) budget combination the pair runner's greedy

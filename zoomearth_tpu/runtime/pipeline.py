@@ -53,6 +53,7 @@ def run_paired_waves(
     prefix: Optional[Tuple] = None,  # (holder_cache, keep_len (B,)) for prefix-KV stage 1
     on_complete: Optional[Callable[[int, list, list], None]] = None,
     on_dispatch: Optional[Callable[[int], None]] = None,  # before wave w's prefill
+    edges: str = "dummy",  # bootstrap/drain strategy: "dummy" | "solo"
 ):
     """Run n_waves pair-pipelined two-stage waves; returns [PairedWaveResult] unless
     on_complete consumes them (then returns []).
@@ -62,11 +63,21 @@ def run_paired_waves(
     its remaining tokens in a solo loop — EITHER stage may be the longer one, so the
     reference's asymmetric budgets (stage-1 1024 via infer.py:109, stage-2 800 via
     customized_funcs.py MAX_TOKENS) and per-stage sampling configs both work.
-    Bootstrap and drain use an inert dummy partner (rows start done) so ONE pair
-    program serves every iteration.
+
+    edges="dummy" (default): bootstrap and drain pair with an inert dummy partner
+    (rows start done) so ONE pair program serves every iteration — fewest compiled
+    programs. edges="solo": the bootstrap wave decodes stage 1 with a plain solo
+    loop and the drain finishes stage 2 solo — two extra (cached) programs, but NO
+    dummy KV cache is ever allocated, capping residency at two full caches. At
+    3B/B=64 the dummy is a third 3.5 GB cache live during the bootstrap pair +
+    solo-tail dispatch window, which OOMs v5e's 15.75 GB (measured r5); solo edges
+    are how pair mode runs at batch >= 64. Token output is IDENTICAL either way
+    (the pair step is token-identical to solo decode — tests/test_pipeline.py).
     """
     if n_waves <= 0:
         return []
+    if edges not in ("dummy", "solo"):
+        raise ValueError(f"edges must be 'dummy' or 'solo', got {edges!r}")
     steps = min(gen1.max_new_tokens, gen2.max_new_tokens)
     rest1 = gen1.max_new_tokens - steps
     rest2 = gen2.max_new_tokens - steps
@@ -110,6 +121,16 @@ def run_paired_waves(
             base_lengths = np.asarray(b1.lengths)
         attend1_last = attend1
         B = logits1.shape[0]
+        if pending is None and edges == "solo":
+            # solo bootstrap: no partner wave yet — stage 1 decodes its full budget
+            # in the plain solo loop instead of pairing with a dummy, so no third
+            # KV cache is ever resident (see the edges= docstring)
+            toks_dev, cache1 = gen.run_decode(
+                logits1, cache1, b1.next_pos, gen1, seed=seed + 2 * w, attend=attend1
+            )
+            toks_dev.copy_to_host_async()
+            pending = (w, base_lengths, np.asarray(b1.next_pos), toks_dev, cache1)
+            continue
         if pending is not None:
             out1_prev, group_b = stage2_group(pending)
         else:
@@ -158,20 +179,28 @@ def run_paired_waves(
                 results.append(PairedWaveResult(pw, out1_prev, out2_prev))
         buf_b = None  # bootstrap wave: the dummy partner's buffer is never read
         pending = (w, base_lengths, np.asarray(b1.next_pos), toks_dev, cache1)
-    # drain: the last wave's stage-2 pairs with an inert dummy stage-1 group
+    # drain: the last wave's stage 2 — solo loop (edges="solo": no dummy cache), or
+    # paired with an inert dummy stage-1 group (edges="dummy": one pair program)
     out1_prev, group_b = stage2_group(pending)
-    _, _, _, _, buf_b, done_b, lb2, cache_b2 = gen.run_decode_pair(
-        dummy_group(B, attend1_last), group_b,
-        steps=steps, temperature=gen1.temperature, top_p=gen1.top_p,
-        temperature_b=gen2.temperature, top_p_b=gen2.top_p,
-        seed=seed + 2 * n_waves,
-    )
-    if rest2 > 0:
-        rest_b, _ = gen.run_decode(
-            lb2, cache_b2, np.asarray(group_b[2]) + steps, g_rest2,
-            seed=seed + 2 * n_waves + 1, attend=group_b[3], done0=done_b,
+    if edges == "solo":
+        logits2, cache2, next2, attend2, done0 = group_b
+        buf_b, _ = gen.run_decode(
+            logits2, cache2, np.asarray(next2), gen2,
+            seed=seed + 2 * n_waves, attend=attend2, done0=done0,
         )
-        buf_b = jnp.concatenate([buf_b, rest_b], axis=1)
+    else:
+        _, _, _, _, buf_b, done_b, lb2, cache_b2 = gen.run_decode_pair(
+            dummy_group(B, attend1_last), group_b,
+            steps=steps, temperature=gen1.temperature, top_p=gen1.top_p,
+            temperature_b=gen2.temperature, top_p_b=gen2.top_p,
+            seed=seed + 2 * n_waves,
+        )
+        if rest2 > 0:
+            rest_b, _ = gen.run_decode(
+                lb2, cache_b2, np.asarray(group_b[2]) + steps, g_rest2,
+                seed=seed + 2 * n_waves + 1, attend=group_b[3], done0=done_b,
+            )
+            buf_b = jnp.concatenate([buf_b, rest_b], axis=1)
     buf_b.copy_to_host_async()
     out2_prev = gen.trim_generated(np.asarray(buf_b))
     pw = pending[0]
