@@ -275,7 +275,8 @@ def main():
     from zoomearth_tpu.config import VLMConfig
     from zoomearth_tpu.image.loader import PrefetchLoader, TileImage
     from zoomearth_tpu.image.preprocess import preprocess_image_u8
-    from zoomearth_tpu.runtime.generate import GenerationConfig, Generator, prepare_batch
+    from zoomearth_tpu.runtime.generate import (
+        DEFAULT_CACHE_BUCKETS, GenerationConfig, Generator, prepare_batch)
 
     cfg = VLMConfig.tiny() if _TINY else VLMConfig.qwen2_5_vl_3b()
     tok = cfg.tokens
@@ -398,8 +399,18 @@ def main():
         _, prefix_cache, _ = gen_prefix.run_prefill(pb, max_new=0)
         prefix_keep = np.asarray(pb.lengths, np.int32)
         prefix_starts = np.asarray(pb.next_pos, np.int32)
+        # episode-final cache rows: prefix + stage-1 chunk (20 question + 330
+        # instruction) + stage-1 budget + stage-2 crop chunk (<=324 vision tokens
+        # + 2 delimiters for a 512px crop) + stage-2 budget, bucketed. Growing the
+        # stage-1 cache only this far (not max_cache_len) keeps pair+prefix at
+        # batch 64 inside v5e HBM: 1280-row caches instead of 1536 (-0.6 GB each).
+        _need_final = int(prefix_keep.max()) + 350 + STAGE1_NEW + 326 + STAGE2_NEW
+        prefix_grow = next((b for b in DEFAULT_CACHE_BUCKETS
+                            if _need_final <= b <= gen.max_cache_len),
+                           gen.max_cache_len)
         print(f"prefix KV holder: {len(pfx_lists)} tiles x {int(pb.lengths[0])} tokens "
-              f"(bucket {pb.input_ids.shape[1]})", file=sys.stderr)
+              f"(bucket {pb.input_ids.shape[1]}; episode grow_to {prefix_grow})",
+              file=sys.stderr)
 
     def build_stage1(_wave):
         import dataclasses
@@ -492,7 +503,7 @@ def main():
             # stage 1 from the per-tile [system+image] KV prefix (see the pair loop)
             logits1, cache, attend1 = gen.run_chunk_prefill(
                 prefix_cache, b1, prefix_keep, max_new=STAGE1_NEW,
-                grow_to=gen.max_cache_len,
+                grow_to=prefix_grow,
             )
             toks, cache = gen.run_decode(
                 logits1, cache, b1.next_pos, g1, seed=seed, attend=attend1
@@ -613,6 +624,7 @@ def main():
             gen, N, hook_stage1, hook_stage2,
             gen1=g1p, gen2=g2p, seed=2,
             prefix=(prefix_cache, prefix_keep) if PREFIX_KV else None,
+            prefix_grow_to=prefix_grow if PREFIX_KV else None,
             on_complete=hook_complete,
             on_dispatch=lambda w: dispatch_t.append(time.time()),
             edges=edges,

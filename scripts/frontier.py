@@ -31,10 +31,12 @@ CONFIGS = [
     # with stage-2 decode of wave n-1; two resident KV caches)
     ("wave-48-pair", {"BENCH_BATCH": "48", "BENCH_PREFIX_KV": "0"}),
     # + per-image [sys+image] KV-prefix cache (reference image-first prompt layout;
-    # the bench DEFAULT = pair + prefix). Batch 64 pair variants are MEASURED OOM
-    # (r5: two full 64x1536 caches + the pair bootstrap dummy stack past the
-    # 15.75 GB HBM at the solo-tail dispatch) — plain pipelining is 64's ceiling.
+    # the bench DEFAULT = pair + prefix). Batch-64 pair was a measured OOM with
+    # dummy edges (third full 64x1536 cache past 15.75 GB HBM at the solo-tail
+    # dispatch); solo bootstrap/drain edges (pipeline.py edges="solo", the
+    # automatic bench choice at batch >= 64) cap residency at two caches.
     ("wave-48-pair-prefix", {"BENCH_BATCH": "48"}),  # shipping default
+    ("wave-64-pair-prefix", {"BENCH_BATCH": "64"}),
     # A/B: plain pipelining without the pair co-batch (isolates the pair gain)
     ("wave-48-pipelined", {"BENCH_BATCH": "48", "BENCH_PAIR": "0"}),
     ("wave-64-pipelined", {"BENCH_BATCH": "64", "BENCH_PAIR": "0"}),

@@ -572,7 +572,12 @@ class Generator:
         # allocates full-size up front and right-sizes READS via attend_len instead.
         T_old = cache.k[0].shape[2]
         keep_host = keep_len if isinstance(keep_len, np.ndarray) else np.asarray(keep_len)
-        need = int(keep_host.max()) + S + max_new
+        # per-row final extent: pad tokens beyond chunk_lens write to the drop slot
+        # (see _chunk_prefill write_pos), so the bucket-padded tail of S never lands
+        # in the cache — size to keep + ACTUAL chunk length + decode budget. At the
+        # wave shape this is what keeps the episode inside the 1280 bucket instead
+        # of tipping into 1536 (0.6 GB/cache at 3B/B=64 — the v5e HBM margin).
+        need = int((keep_host + np.asarray(batch.lengths)).max()) + max_new
         T2 = T_old
         if need > T_old:
             T2 = self.max_cache_len

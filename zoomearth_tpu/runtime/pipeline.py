@@ -51,6 +51,7 @@ def run_paired_waves(
     gen2: GenerationConfig,
     seed: int = 0,
     prefix: Optional[Tuple] = None,  # (holder_cache, keep_len (B,)) for prefix-KV stage 1
+    prefix_grow_to: Optional[int] = None,  # stage-1 cache rows when prefix-seeded
     on_complete: Optional[Callable[[int, list, list], None]] = None,
     on_dispatch: Optional[Callable[[int], None]] = None,  # before wave w's prefill
     edges: str = "dummy",  # bootstrap/drain strategy: "dummy" | "solo"
@@ -111,9 +112,15 @@ def run_paired_waves(
             on_dispatch(w)
         if prefix is not None:
             holder, pkeep = prefix
+            # Grow the stage-1 cache straight to the EPISODE's final extent so
+            # stage 2 continues in place with no further growth. Default is the
+            # generator's max; callers that know the episode's true final token
+            # count pass prefix_grow_to (bucketed) — at 3B/B=64 the 1536-vs-1280
+            # overshoot is 0.6 GB per resident cache, the difference between
+            # pair+prefix fitting v5e HBM and the stage-2 chunk prefill OOMing.
             logits1, cache1, attend1 = gen.run_chunk_prefill(
                 holder, b1, pkeep, max_new=gen1.max_new_tokens,
-                grow_to=gen.max_cache_len,
+                grow_to=prefix_grow_to or gen.max_cache_len,
             )
             base_lengths = np.asarray(pkeep) + np.asarray(b1.lengths)
         else:
